@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core plumbing shared by every operator module.
+  *
+  * Design notes (scale-first):
+  *  - Every query is a pure `(SparkSession, sfDir) => DataFrame` building a
+  *    declarative plan; Catalyst owns pushdown/pruning/join selection.
+  *  - Determinism helpers (`dsum`, `r6`) exist because the driver
+  *    hash-compares results against DuckDB (SURVEY.md §7.3): double
+  *    summation order differs between engines, so sums go through exact
+  *    DECIMAL arithmetic and come back as bit-identical doubles.
+  */
+package object core {
+  /** A named engine query over the test tables in `sfDir`. */
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** Query + optional DuckDB oracle SQL (None => rows-only check). */
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String])
+
+  /** Order-independent, engine-identical sum of a double column:
+    * exact DECIMAL(25,6) accumulation, result cast back to double.
+    * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast("double")
+
+  /** DuckDB twin of [[dsum]] for oracle SQL strings. */
+  def dsumSql(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+
+  /** Deterministic average built from the exact sum (identical double
+    * division on both engines). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+  def davgSql(x: String): String = s"${dsumSql(x)} / count($x)"
+
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Collect modules into the SparkEntry maps. */
+  def registry(modules: Seq[Seq[Q]]): (Map[String, QueryFn], Map[String, String]) = {
+    val qs = modules.flatten
+    require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
+    (qs.map(q => q.name -> q.fn).toMap,
+     qs.flatMap(q => q.oracle.map(q.name -> _)).toMap)
+  }
+}

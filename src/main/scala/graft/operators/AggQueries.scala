@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.Tables
+
+/** Grouped aggregation family (SURVEY.md §2B agg_*, derivation NS).
+  *
+  * Scale notes:
+  *  - `groupBy.agg` plans HashAggregate(partial) → shuffle-on-keys →
+  *    HashAggregate(final): map-side combine means the shuffle carries one
+  *    row per (partition × group), not per input row. With a handful of
+  *    groups this is effectively a metadata shuffle even at 100 TB.
+  *  - count(DISTINCT x) expands to a two-phase aggregate on (group, x);
+  *    Spark plans it without a driver bottleneck. For billions of distinct
+  *    values prefer `agg_approx_distinct` (HLL, constant memory).
+  *  - Double sums go through exact DECIMAL accumulation ([[graft.core.dsum]])
+  *    so the result is bit-identical regardless of partitioning / summation
+  *    order — this is both the oracle-determinism rule (SURVEY.md §7.3) and
+  *    the correct answer-stability property for a 1000-executor run.
+  */
+object AggQueries {
+
+  val all: Seq[Q] = Seq(
+    // TPC-H Q1 shape (pricing summary): REF generalization of the scalar
+    // derivations O19 into grouped form.
+    Q("agg_groupby",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          r6(davg(col("l_quantity"))).as("avg_qty"),
+          r6(davg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${dsumSql("l_quantity")} AS sum_qty,
+              |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+              |  round(${davgSql("l_quantity")}, 6) AS avg_qty,
+              |  round(${davgSql("l_discount")}, 6) AS avg_disc,
+              |  count(*) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("agg_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_orderkey) AS n_orders,
+             |  count(DISTINCT l_suppkey) AS n_supps,
+             |  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Grouping-sets family. Null grouping keys are coalesced to the 'ALL'
+    // sentinel so the sort key is never NULL (Spark and DuckDB default
+    // null-ordering differ; SURVEY.md §7.3).
+    Q("agg_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status"),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+              |  coalesce(l_linestatus, 'ALL') AS status,
+              |  ${dsumSql("l_quantity")} AS sum_qty, count(*) AS n
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY flag, status""".stripMargin)),
+
+    Q("agg_cube",
+      (s, dir) => Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_price"), col("n"))
+        .orderBy("flag", "status"),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+              |  coalesce(l_linestatus, 'ALL') AS status,
+              |  ${dsumSql("l_extendedprice")} AS sum_price, count(*) AS n
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY flag, status""".stripMargin)),
+
+    // GROUPING SETS has no DataFrame-API spelling; the SQL route goes through
+    // the same Catalyst Expand + Aggregate plan as rollup/cube.
+    Q("agg_gsets",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
+        s.sql(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 |  coalesce(o_orderpriority, 'ALL') AS prio,
+                 |  ${dsumSql("o_totalprice")} AS sum_price, count(1) AS n
+                 |FROM graft_orders_gs
+                 |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                 |ORDER BY status, prio""".stripMargin)
+      },
+      Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              |  coalesce(o_orderpriority, 'ALL') AS prio,
+              |  ${dsumSql("o_totalprice")} AS sum_price, count(*) AS n
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY status, prio""".stripMargin)),
+
+    // HLL++ sketch: constant memory per group, mergeable across partitions —
+    // the 100 TB spelling of distinct-count. No DuckDB oracle (different
+    // sketch); bounds-checked against exact counts in AggSpec.
+    Q("agg_approx_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // Statistical aggregates beyond the TPC-H shape: min/max/stddev/percentile.
+    Q("agg_stats",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("n"),
+          r6(percentile_approx(col("o_totalprice"), lit(0.5), lit(100000)).cast("double"))
+            .as("median_ish"))
+        .orderBy("o_orderstatus"),
+      None), // percentile sketches differ across engines; checked in AggSpec.
+
+    Q("agg_minmax",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderdate")).cast("date").as("first_date"),
+          max(col("o_orderdate")).cast("date").as("last_date"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("min_price"), col("max_price"),
+          date_format(col("first_date"), "yyyy-MM-dd").as("first_date"),
+          date_format(col("last_date"), "yyyy-MM-dd").as("last_date"), col("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, min(o_totalprice) AS min_price,
+             |  max(o_totalprice) AS max_price,
+             |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+             |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_date,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+  )
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core._
+import graft.sources.Tables
+
+/** Window-function family: ranking, offsets, frames, event-time windows,
+  * and the as-of join (SURVEY.md §2B win_* / join_asof; REF:O8-O13,O23).
+  *
+  * Scale notes:
+  *  - Every window here partitions by a real key (user_id / c_mktsegment /
+  *    o_custkey), so the work distributes as one shuffle on that key followed
+  *    by per-partition sorts — no single-partition global window anywhere
+  *    (the classic 100 TB window-function trap).
+  *  - The as-of join is expressed as `last(..., ignoreNulls)` over an
+  *    unbounded-preceding frame after a single shuffle+sort per key — the
+  *    union-then-window formulation of merge-asof, which scales linearly
+  *    instead of building a per-row range probe.
+  *  - Event-time tumbling/sliding use Spark's `window()` (same operator the
+  *    streaming path uses); session windows use `session_window()`. Batch
+  *    and streaming therefore share plan shapes (SURVEY.md §3).
+  */
+object WindowQueries {
+
+  private val GapUs = 1800L * 1000000L // 30-minute session gap, microseconds
+
+  /** Exact running sum over a window: DECIMAL accumulation, double result. */
+  private def wsum(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+    sum(c.cast(DecimalType(25, 6))).over(w).cast("double")
+
+  val all: Seq[Q] = Seq(
+    Q("win_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            r6(percent_rank().over(w)).as("pct_rank"),
+            r6(cume_dist().over(w)).as("cdist"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+             |  CAST(row_number() OVER w AS INTEGER) AS rn,
+             |  CAST(rank() OVER w AS INTEGER) AS rnk,
+             |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cdist
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // REF:O11 — the rain-rate lag difference, generalized.
+    Q("win_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            lag("value", 1).over(w).as("prev_val"),
+            lead("value", 1).over(w).as("next_val"),
+            lag("value", 2, -1.0).over(w).as("prev2_or_neg1"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  lag(value, 1) OVER w AS prev_val,
+             |  lead(value, 1) OVER w AS next_val,
+             |  lag(value, 2, -1.0) OVER w AS prev2_or_neg1
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // REF:O10 — running accumulation (the Totalrainstart delta), generalized
+    // to running + sliding ROWS frames.
+    Q("win_frame_rows",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sliding = w.rowsBetween(-2, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            wsum(col("value"), running).as("running_sum"),
+            wsum(col("value"), sliding).as("sum3"),
+            count(lit(1)).over(sliding).as("cnt3"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+             |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3,
+             |  count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt3
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // RANGE frame over a numeric (epoch-seconds) order key: 30-day trailing
+    // spend per customer.
+    Q("win_frame_range",
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+          .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        val w = Window.partitionBy("o_custkey").orderBy("epoch_s")
+          .rangeBetween(-30L * 86400L, 0)
+        base.select(col("o_orderkey"), col("o_custkey"), col("epoch_s"),
+            wsum(col("o_totalprice"), w).as("trailing30d_spend"),
+            count(lit(1)).over(w).as("trailing30d_orders"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE) AS trailing30d_spend,
+             |  count(*) OVER w AS trailing30d_orders
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // As-of join (SURVEY.md §2B join_asof; mirrors REF:O8 "latest reading
+    // at or before now"): for each purchase, the most recent strictly-prior
+    // click by the same user.
+    Q("join_asof",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .withColumn("last_click_us",
+            last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+                  unix_micros(col("ts")).as("ts_us"), col("last_click_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_click_us FROM (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+             |  FROM events)
+             |WHERE event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin)),
+
+    // REF:O9/O23 — event-time tumbling window (1 hour), batch view. The
+    // streaming surface uses the identical window() operator.
+    Q("win_tumbling",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy("ws", "event_type"),
+      Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
+              |  count(*) AS n, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // Sliding window (1 hour every 15 min): each event lands in 4 windows.
+    // The DuckDB oracle reproduces Spark's slide-aligned window assignment
+    // with an explicit ×4 expansion join.
+    Q("win_sliding",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("ws"), col("n"), col("sum_value"))
+        .orderBy("ws"),
+      Some(s"""SELECT ws, count(*) AS n, ${dsumSql("value")} AS sum_value
+              |FROM (SELECT CAST(floor(epoch(ts)/900) AS BIGINT)*900 - k*900 AS ws, value
+              |      FROM events, (VALUES (0),(1),(2),(3)) t(k))
+              |GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    // Gap-based session window (30 min); DuckDB oracle is the classic
+    // gaps-and-islands rewrite. Spark closes a session when the next event
+    // starts >= gap after the previous event's window end.
+    Q("win_session",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+                unix_micros(col("session_window.start")).as("session_start_us"),
+                col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start_us"),
+      Some(s"""WITH marked AS (
+              |  SELECT user_id, ts, value,
+              |    CASE WHEN lag(ts) OVER w IS NULL
+              |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${GapUs}
+              |         THEN 1 ELSE 0 END AS brk
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              |), sess AS (
+              |  SELECT user_id, ts, value,
+              |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+              |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM marked)
+              |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+              |  count(*) AS n, ${dsumSql("value")} AS sum_value
+              |FROM sess GROUP BY user_id, sid
+              |ORDER BY user_id, session_start_us""".stripMargin)),
+  )
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Registers each parquet table as a DuckDB view, runs every SQL in
+oracle_sql.json, and compares against the Spark-written parquet in
+<verifyOutDir>/<name>/ : row count, column names (sorted), dtypes, and
+exact values.  Reports near-misses (float tolerance) separately so
+determinism gaps are visible before the real driver run.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(df):
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = canon(con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf())
+            exp = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        probs = []
+        if list(got.columns) != list(exp.columns):
+            probs.append(f"cols got={list(got.columns)} exp={list(exp.columns)}")
+        elif len(got) != len(exp):
+            probs.append(f"rows got={len(got)} exp={len(exp)}")
+        else:
+            for c in got.columns:
+                if str(got[c].dtype) != str(exp[c].dtype):
+                    probs.append(f"dtype[{c}] got={got[c].dtype} exp={exp[c].dtype}")
+            if not probs:
+                for c in got.columns:
+                    g, e = got[c], exp[c]
+                    if g.dtype.kind == 'f':
+                        eq = (g.fillna(np.nan)).equals(e.fillna(np.nan))
+                        if not eq:
+                            close = np.allclose(g.fillna(0), e.fillna(0),
+                                                rtol=1e-9, atol=1e-9, equal_nan=True)
+                            mism = int((~((g == e) | (g.isna() & e.isna()))).sum())
+                            probs.append(f"val[{c}] {mism} mismatches"
+                                         + (" (within 1e-9: NEAR-MISS)" if close else ""))
+                    else:
+                        eqmask = (g == e) | (g.isna() & e.isna())
+                        if not bool(eqmask.all()):
+                            i = int((~eqmask).idxmax())
+                            probs.append(f"val[{c}] {int((~eqmask).sum())} mismatches "
+                                         f"e.g. row {i}: got={g.iloc[i]!r} exp={e.iloc[i]!r}")
+        if probs:
+            print(f"FAIL {name}: " + "; ".join(probs[:4])); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} total")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
