@@ -18,6 +18,10 @@ object SparkEntry {
     FunctionQueries.all,
     WindowQueries.all,
     WeatherQueries.all,
+    TextQueries.all,
+    DedupQueries.all,
+    SimilarityQueries.all,
+    MultimodalQueries.all,
   )
 
   private val (queryMap, oracleMap) = registry(modules)

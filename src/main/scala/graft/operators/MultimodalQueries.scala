@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (NS mandate): opaque `binary` payloads with
+  * typed metadata, partition-wise decode/feature-extract.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (see [[FakeDecoder]]); everything
+  * Spark-side — binary column schema, partition-batched iteration, typed
+  * output encoding — is real and tested. A production deployment swaps
+  * `FakeDecoder.decode` for a codec call; the plan shape (scan → narrow
+  * mapPartitions → columnar output) is unchanged and shuffle-free.
+  */
+object MultimodalQueries {
+
+  /** Decoded "media" features. */
+  final case class MMFeature(doc_id: Long, width: Int, height: Int,
+                             n_frames: Int, feature: Array[Float])
+
+  /** STUB decoder: derives deterministic fake metadata/features from the
+    * payload bytes. A real implementation would decode the image/audio here
+    * (one codec instance per partition, amortized over the iterator — the
+    * reason this is mapPartitions and not a per-row UDF). */
+  object FakeDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MMFeature = {
+      val w = (math.abs(bytes.headOption.getOrElse(1: Byte).toInt) % 64) + 1
+      val h = (math.abs(bytes.lift(1).getOrElse(1: Byte).toInt) % 64) + 1
+      val frames = bytes.length / 256 + 1
+      val feature = Array.tabulate(8) { i =>
+        bytes.lift(i).getOrElse(0: Byte).toFloat / 128.0f
+      }
+      MMFeature(docId, w, h, frames, feature)
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+    // Binary ingestion + typed metadata: text re-encoded as an opaque blob
+    // column (standing in for image/audio payloads), with byte-level
+    // metadata derived by codegen'd expressions.
+    Q("mm_ingest",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("blob", col("text").cast("binary"))
+        .select(col("doc_id"),
+          octet_length(col("blob")).as("blob_len"),
+          md5(col("blob")).as("blob_md5"),
+          ceil(octet_length(col("blob")) / 256.0).as("n_chunks"),
+          lit("text/plain").as("mime"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS blob_len,
+             |  md5(text) AS blob_md5,
+             |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks,
+             |  'text/plain' AS mime
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Partition-wise decode → typed features (STUB decode, real plumbing).
+    Q("mm_decode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => FakeDecoder.decode(id, bytes) })
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+                  col("feature"))
+          .orderBy("doc_id")
+      },
+      None),
+  )
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.Tables
+
+/** Text-analysis pack over the `documents` corpus (NS mandate: language ID,
+  * quality scoring, token counting, document fingerprinting).
+  *
+  * Scale notes: every query is scan → per-row column math (or one
+  * explode+groupBy for word stats). Nothing here shuffles more than once,
+  * and all tokenization happens inside codegen'd string expressions —
+  * the shape that survives a 100 TB corpus.
+  */
+object TextQueries {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Real corpora would use character n-gram profiles; the
+    * heuristic keeps the same plan shape (per-row array intersections). */
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans"))
+
+  val all: Seq[Q] = Seq(
+    // Word-frequency stats: the explode → groupBy shape (REF has no aggs;
+    // NS text analysis). Map-side partial aggregation keeps the shuffle at
+    // one row per (partition × word).
+    Q("text_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(desc("n_occur"), asc("word"))
+        .limit(100),
+      Some("""SELECT word, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+             |WHERE word <> ''
+             |GROUP BY word ORDER BY n_occur DESC, word ASC LIMIT 100""".stripMargin)),
+
+    // Token counting: whitespace tokens, a BPE-ish regex tokenizer
+    // (word-pieces + punctuation), and the chars/4 estimate LLM pipelines
+    // use for budget accounting.
+    Q("text_tokens",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= "")).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .as("n_re_tokens"),
+          ceil(length(col("text")) / 4.0).as("n_bpe_est"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS INTEGER) AS n_chars,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS INTEGER) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_re_tokens,
+             |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length/stopword/uniqueness signals combined into a
+    // bounded [0,1] score — the pre-training filter shape.
+    Q("text_quality",
+      (s, dir) => {
+        val words = filter(split(col("text"), " "), w => w =!= "")
+        val nWords = size(words)
+        val nStop = size(filter(words, w => w.isin(Stopwords.map(x => x: Any): _*)))
+        val nUniq = size(array_distinct(words))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            nWords.as("n_words"),
+            r6(length(col("text")).cast("double") / nWords).as("avg_word_len"),
+            r6(nStop.cast("double") / nWords).as("stop_ratio"),
+            r6(nUniq.cast("double") / nWords).as("uniq_ratio"),
+            r6(least(nWords.cast("double") / 100.0, lit(1.0)) * 0.4
+              + (lit(1.0) - nStop.cast("double") / nWords) * 0.3
+              + nUniq.cast("double") / nWords * 0.3).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_words,
+              |  round(CAST(length(text) AS DOUBLE) / n_words, 6) AS avg_word_len,
+              |  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+              |  round(CAST(n_uniq AS DOUBLE) / n_words, 6) AS uniq_ratio,
+              |  round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+              |    + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3
+              |    + CAST(n_uniq AS DOUBLE) / n_words * 0.3, 6) AS quality
+              |FROM (SELECT doc_id, text,
+              |        CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER) AS n_words,
+              |        CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopSqlList))) AS INTEGER) AS n_stop,
+              |        CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS INTEGER) AS n_uniq
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Language ID: argmax over per-language marker-word hit counts.
+    // Heuristic (not SQL-oracled): verified on constructed sentences in
+    // TextQueriesSpec; here it runs over the corpus for plan/throughput.
+    Q("text_lang",
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val scored = LangMarkers.foldLeft(Tables.documents(s, dir)) {
+          case (df, (lang, markers)) =>
+            df.withColumn(s"score_$lang",
+              size(filter(words, w => w.isin(markers.map(x => x: Any): _*))))
+        }
+        val langs = LangMarkers.keys.toSeq.sorted
+        scored
+          .withColumn("pred", greatest(langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang"))): _*))
+          .select(col("doc_id"), col("lang").as("lang_declared"),
+            col("pred.lang").as("lang_pred"), col("pred.score").as("marker_hits"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // Document fingerprint: bottom-k sketch of character-8-gram hashes
+    // (KMV / winnowing-style). Hash functions differ engine-to-engine, so
+    // no SQL oracle; identity & near-dup overlap properties are pinned in
+    // TextQueriesSpec.
+    Q("text_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("grams",
+          expr("transform(sequence(1, greatest(length(text) - 7, 1)), i -> xxhash64(substring(text, i, 8)))"))
+        .select(col("doc_id"),
+          slice(array_sort(array_distinct(col("grams"))), 1, 4).as("fingerprint"),
+          xxhash64(concat_ws(",",
+            slice(array_sort(array_distinct(col("grams"))), 1, 4))).as("fp_hash"))
+        .orderBy("doc_id"),
+      None),
+  )
+}
