@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable deduplication operators over arbitrary DataFrames — the
+  * library surface behind `DedupQueries` (NS mandate).
+  *
+  * All near-dup operators follow the candidate-generation / verification
+  * split: candidates come from a bucket equi-join (never an all-pairs
+  * product), verification computes the exact measure on candidates only.
+  */
+object Dedup {
+
+  /** Earliest-row-per-key exact dedup: deterministic spelling of
+    * `dropDuplicates(keys)` (same shuffle-on-key plan shape, but the
+    * survivor is well-defined). */
+  def exactDedup(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct k-word shingles per row: (idCol, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.withColumn("__words", filter(split(col(textCol), " "), w => w =!= ""))
+      .filter(size(col("__words")) >= k)
+      .select(col(idCol), expr(
+        s"""explode(array_distinct(transform(
+           |  sequence(1, size(__words) - ${k - 1}),
+           |  i -> concat_ws(' ', slice(__words, i, $k))))) AS shingle""".stripMargin))
+
+  /** Exact pairwise n-gram Jaccard over shared-shingle candidates:
+    * (d1, d2, inter, n1, n2, jaccard), ids ordered d1 < d2. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("d1", "s1")
+      .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.toDF("d1", "n1"), "d1")
+      .join(sz.toDF("d2", "n2"), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup pairs: (d1, d2, j_est, j_exact), exact Jaccard
+    * verified on banded candidates only. numPerm must be divisible by
+    * bands. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numPerm: Int = 32, bands: Int = 8, k: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val rowsPerBand = numPerm / bands
+    val sh = shingles(df, idCol, textCol, k)
+    val sig = sh.groupBy(idCol).agg(
+      min(xxhash64(lit(0), col("shingle"))).as("m0"),
+      (1 until numPerm).map(p => min(xxhash64(lit(p), col("shingle"))).as(s"m$p")): _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+    }
+    val banded = sig
+      .select(col(idCol), posexplode(array(bandCols: _*)))
+      .toDF("id", "band_idx", "band_hash")
+    val cand = banded.toDF("d1", "bi1", "bh1")
+      .join(banded.toDF("d2", "bi2", "bh2"),
+        col("bi1") === col("bi2") && col("bh1") === col("bh2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val sigA = sig.toDF("d1" +: (0 until numPerm).map(i => s"a$i"): _*)
+    val sigB = sig.toDF("d2" +: (0 until numPerm).map(i => s"b$i"): _*)
+    val jEst = (0 until numPerm)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numPerm
+    val withEst = cand.join(sigA, "d1").join(sigB, "d2")
+      .select(col("d1"), col("d2"), jEst.as("j_est"))
+    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+    withEst
+      .join(sh.toDF("d1", "s1"), "d1").join(sh.toDF("d2", "s2"), "d2")
+      .filter(col("s1") === col("s2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"), first(col("j_est")).as("j_est"))
+      .join(sz.toDF("d1", "n1"), "d1")
+      .join(sz.toDF("d2", "n2"), "d2")
+      .withColumn("j_exact",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("j_exact") >= threshold)
+      .select("d1", "d2", "j_est", "j_exact")
+  }
+
+  /** 64-bit SimHash near-dup pairs via 4×16-bit band join:
+    * (d1, d2, hamming) with hamming <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8): DataFrame = {
+    def bitSum(i: Int) =
+      sum(when(shiftrightunsigned(col("wh"), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt")))
+    val wc = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(idCol, "word").agg(count(lit(1)).as("cnt"))
+      .withColumn("wh", xxhash64(col("word")))
+    val bitSums = wc.groupBy(idCol).agg(
+      bitSum(0).as("s0"), (1 until 64).map(i => bitSum(i).as(s"s$i")): _*)
+    val simhash = (0 until 64)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sigs = bitSums.select(col(idCol), simhash.as("simhash"))
+    val bandCols = (0 until 4).map(b =>
+      shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)))
+    val banded = sigs
+      .select(col(idCol), col("simhash"), posexplode(array(bandCols: _*)))
+      .toDF("id", "simhash", "band_idx", "band_val")
+    banded.toDF("d1", "h1", "bi1", "bv1")
+      .join(banded.toDF("d2", "h2", "bi2", "bv2"),
+        col("bi1") === col("bi2") && col("bv1") === col("bv2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

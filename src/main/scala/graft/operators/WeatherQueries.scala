@@ -117,23 +117,7 @@ object WeatherQueries {
     // rate = freq x (counter - previous counter of the day), 0 at the day's
     // first observation (the reference's rollover reset).
     Q("wx_rain_daily",
-      (s, dir) => {
-        val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val wDay = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-        Tables.events(s, dir)
-          .withColumn("counter",
-            sum(col("value").cast(DecimalType(25, 6))).over(
-              wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-          .withColumn("day_start", first(col("counter")).over(wDay))
-          .withColumn("prev_counter", lag(col("counter"), 1).over(wDay))
-          .select(col("event_id"), col("user_id"), col("day"),
-            col("counter").cast("double").as("total_rain_mm"),
-            (col("counter") - col("day_start")).cast("double").as("daily_rain_mm"),
-            coalesce((col("counter") - col("prev_counter")) * lit(ObsFreq), lit(0.0))
-              .cast("double").as("rain_rate_mmh"))
-          .orderBy("event_id")
-      },
+      (s, dir) => rainDaily(Tables.events(s, dir)).orderBy("event_id"),
       Some(s"""WITH c AS (
               |  SELECT event_id, user_id, ts, strftime(ts, '%Y-%m-%d') AS day,
               |    sum(CAST(value AS DECIMAL(25,6)))
@@ -157,6 +141,26 @@ object WeatherQueries {
       (s, dir) => wowRecord(s, dir),
       Some(wowRecordSql)),
   )
+
+  /** O9-O13 as windows over any (event_id, user_id, ts, value) frame —
+    * the reusable library form; equivalence with a sequential simulation of
+    * the reference state machine is pinned in RainStateMachineProps. */
+  def rainDaily(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wDay = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    events
+      .withColumn("counter",
+        sum(col("value").cast(DecimalType(25, 6))).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("day_start", first(col("counter")).over(wDay))
+      .withColumn("prev_counter", lag(col("counter"), 1).over(wDay))
+      .select(col("event_id"), col("user_id"), col("day"),
+        col("counter").cast("double").as("total_rain_mm"),
+        (col("counter") - col("day_start")).cast("double").as("daily_rain_mm"),
+        coalesce((col("counter") - col("prev_counter")) * lit(ObsFreq), lit(0.0))
+          .cast("double").as("rain_rate_mmh"))
+  }
 
   /** The flagship pipeline; also SparkEntry.entry. */
   def wowRecord(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Near-dup operator semantics on constructed corpora + the planted
+  * near-dups in the driver corpus (J ≈ 0.98 pairs, SURVEY.md §5). */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$SF/documents.parquet")
+
+  test("minhash LSH finds exactly the exact-Jaccard pair set (planted dups)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh === exact,
+      s"minhash missed ${exact -- lsh} / hallucinated ${lsh -- exact}")
+  }
+
+  test("minhash signature estimate tracks exact jaccard") {
+    val rows = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("j_est", "j_exact").collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.35,
+        s"estimate ${r.getDouble(0)} far from exact ${r.getDouble(1)}")
+    }
+  }
+
+  test("simhash: identical texts collide at hamming 0; disjoint texts don't pair") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"identical docs should be hamming 0: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"disjoint docs should not band-collide: $pairs")
+  }
+
+  test("exactDedup keeps exactly the earliest row per key") {
+    val events = graft.sources.Tables.events(spark, SF)
+    val deduped = Dedup.exactDedup(events, Seq("user_id", "event_type"),
+      Seq(col("ts"), col("event_id")))
+    val keys = deduped.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(keys === 0L, "dedup left duplicate keys")
+    // survivor must carry the minimal (ts, event_id) of its group
+    val viaAgg = events.groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts"), col("event_id")))("event_id").as("keeper"))
+    val mismatches = deduped.select(col("user_id"), col("event_type"), col("event_id"))
+      .join(viaAgg, Seq("user_id", "event_type"))
+      .filter(col("event_id") =!= col("keeper")).count()
+    assert(mismatches === 0L)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Exact-kNN golden check (independent driver-side brute force) and LSH
+  * behavior: self-recall on planted near-identical vectors, candidate
+  * discipline (LSH results are a subset of same-bucket pairs by
+  * construction, so we check recall, not equality). */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  /** Independent brute force over collected arrays (no Spark expressions —
+    * this is the oracle for sim_knn). */
+  private def bruteTopK(k: Int, queryIds: Set[Long]): Map[Long, Seq[Long]] = {
+    val all = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    all.filter(q => queryIds(q._1)).map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(k).map(_._1).toSeq
+    }.toMap
+  }
+
+  test("sim_knn matches independent brute force exactly") {
+    val queryIds = emb.filter(col("vec_id") % 50 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val expected = bruteTopK(5, queryIds)
+    val got = Similarity.knn(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+      .orderBy("q_id", "rank")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got === expected)
+  }
+
+  test("LSH finds planted near-identical vectors (self-recall)") {
+    // plant: copies of vectors 1..5 with one coordinate nudged
+    val base = emb.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = base.map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.01f; (id + 10000L, w.toSeq)
+    }
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(planted.toSeq.toDF("vec_id", "embedding"))
+    val queries = planted.toSeq.toDF("vec_id", "embedding")
+    val res = Similarity.lshKnn(corpus, queries, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // each planted query's top-1 must be its original (cosine ~ 1)
+    val hits = base.count { case (id, _) => res.get(id + 10000L).contains(id) }
+    assert(hits === base.length,
+      s"LSH self-recall failed: $res (want ${base.map(b => (b._1 + 10000L, b._1)).toMap})")
+  }
+
+  test("LSH recall vs brute force is meaningful on the real corpus") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.knn(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshKnn(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // This corpus has no true near neighbors (brute top-5 cosines ~0.3,
+    // i.e. ~72deg apart), so hyperplane-LSH theory predicts only
+    // 1-(1-p^8)^8 ~ 12% candidate probability at p = 1 - acos(0.3)/pi;
+    // with 50 pairs sampled, anything clearly above the ~1% chance floor
+    // shows the bucketing works. True-near-neighbor recall is pinned by
+    // the planted self-recall test above.
+    assert(recall >= 0.02, s"LSH recall $recall at chance level")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.WeatherFunctions._
+
+/** Golden-value tests for the reference formulas (SURVEY.md §5.2), pinned to
+  * values computed independently from the as-written JS expressions in
+  * MetOffice_WOW_Connect.txt (incl. the 17.7 dew-point constant at :191). */
+class WeatherFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def eval1(c: org.apache.spark.sql.Column): Double =
+    spark.range(1).select(c.cast("double")).head().getDouble(0)
+
+  private def assertNear(got: Double, want: Double, tol: Double = 1e-9): Unit =
+    assert(math.abs(got - want) < tol, s"got $got want $want")
+
+  test("dew point uses the as-written 17.7 denominator (ref :190-191)") {
+    assertNear(eval1(dewPointC(lit(15.0), lit(80.0))), 11.281316140442662)
+    assertNear(eval1(dewPointC(lit(-10.0), lit(95.0))), -10.398680920506731)
+    assertNear(eval1(dewPointC(lit(25.0), lit(30.0))), 6.053019617706291)
+  }
+
+  test("mast correction factor (ref :292-305)") {
+    assertNear(eval1(mastCorrectionFactor(lit(2.0))), 1.2869627361283407)
+    assertNear(eval1(mastCorrectionFactor(lit(5.0))), 1.1340606839993135)
+    assertNear(eval1(mastCorrectionFactor(lit(9.99))), 1.0004658677405809)
+  }
+
+  test("mast correction applies only below 10 m and when not calm") {
+    assertNear(eval1(mastCorrected(lit(10.0), lit(10.0), lit(10.0))), 10.0) // at 10 m: none
+    assertNear(eval1(mastCorrected(lit(0.0), lit(0.0), lit(5.0))), 0.0)     // calm: none
+    assertNear(eval1(mastCorrected(lit(10.0), lit(10.0), lit(5.0))), 11.340606839993135)
+  }
+
+  test("wind direction decode sentinels (ref :282-290,306-307)") {
+    def dir(wd: Int, ws: Double): String =
+      spark.range(1).select(windDirDeg(lit(wd), lit(ws))).head().getString(0)
+    assert(dir(0, 5.0) === "360")   // north reports as 360
+    assert(dir(4, 5.0) === "90")    // east
+    assert(dir(7, 5.0) === "158")   // 157.5 -> toFixed(0) rounds half-up
+    assert(dir(3, 0.0) === "000")   // calm wins over direction
+  }
+
+  test("SMHI latitude + temperature corrections (ref :319-331)") {
+    assertNear(eval1(latitudeCorrection(lit(61.8989))), 0.034213118291970754)
+    // three CASE branches of the temperature correction
+    assertNear(eval1(tempCorrection(lit(-10.0))), 270.0)
+    assertNear(eval1(tempCorrection(lit(0.0))), 275.6)
+    assertNear(eval1(tempCorrection(lit(15.0))), 290.55)
+    // boundary behavior: -7 belongs to the middle branch, 2 to the upper
+    assertNear(eval1(tempCorrection(lit(-7.0))), 0.535 * -7.0 + 275.6)
+    assertNear(eval1(tempCorrection(lit(2.0))), 1.07 * 2.0 + 274.5)
+    assertNear(eval1(mslPressureHpa(lit(1000.0), lit(15.0), lit(61.8989), lit(5.0))),
+      1000.0 * 1.0005889380830755)
+  }
+
+  test("unit conversions use the exact reference factors (ref :338-365)") {
+    assertNear(eval1(cToF(lit(100.0))), 212.0)
+    assertNear(eval1(msToMph(lit(10.0))), 22.36936)
+    assertNear(eval1(mmToInch(lit(25.4))), 1.0000005399999998)
+    assertNear(eval1(hpaToInHg(lit(1013.25))), 29.921255347141646)
+  }
+}
