@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface of the engine (SURVEY.md §2A O8-O13, O23;
+  * §7.1 step 7): the reference is a 15-minute-trigger micro-batch pipeline
+  * whose only cross-run state is the rain-history sheet. Here that state
+  * lives in Spark's state store via flatMapGroupsWithState, keyed by
+  * sensor/user — the direct Spark analogue of the Google-Sheet row
+  * (MetOffice_WOW_Connect.txt:210-272).
+  *
+  * Scale notes: state is O(1) per key (four scalars), the state store
+  * shuffles once on user_id, and watermarking bounds both state retention
+  * and late-data acceptance (generalizing the reference's staleness guard
+  * at :244). The windowed aggregations reuse the exact operators the batch
+  * path uses (`window`, `session_window`), so batch and streaming results
+  * are directly comparable — which StreamingSpec exploits.
+  */
+object WeatherStream {
+
+  final case class SensorReading(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+
+  /** The rain-history state row (FIXTURES.md A3): day + the two counter
+    * snapshots; `counter` is the reconstructed monotone gauge register. */
+  final case class RainState(day: String, totalRainStart: Double,
+                             totalRainLatest: Double, counter: Double)
+
+  final case class RainObs(event_id: Long, user_id: Long, day: String,
+                           total_rain_mm: Double, daily_rain_mm: Double,
+                           rain_rate_mmh: Double)
+
+  private val ObsFreq = 4.0 // 15-min cadence (MetOffice_WOW_Connect.txt:34-39)
+
+  private def dayOf(ts: Timestamp): String =
+    java.time.Instant.ofEpochMilli(ts.getTime)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+  /** The reference state machine O8-O13, one micro-batch group at a time.
+    * Rows are sorted within the batch (the store guarantees nothing about
+    * iterator order); state carries across batches exactly like the
+    * reference's sheet carries across runs. */
+  private[streaming] def updateRain(
+      userId: Long, rows: Iterator[SensorReading],
+      state: GroupState[RainState]): Iterator[RainObs] = {
+    val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+    var st = state.getOption.getOrElse(RainState(null, 0.0, 0.0, 0.0))
+    val out = sorted.map { r =>
+      val counter = st.counter + r.value
+      val day = dayOf(r.ts)
+      var daily = 0.0
+      var rate = 0.0
+      if (day != st.day) {                       // rollover (:229-240)
+        st = RainState(day, counter, 0.0, counter)
+      } else {
+        st = st.copy(counter = counter)
+        if (counter != st.totalRainStart) {      // rain since day start (:244-249)
+          daily = counter - st.totalRainStart
+          rate =
+            if (st.totalRainLatest != 0.0) ObsFreq * (counter - st.totalRainLatest)
+            else ObsFreq * daily                 // first rain of day (:257-263)
+          if (counter != st.totalRainLatest)     // conditional write-back (:264-272)
+            st = st.copy(totalRainLatest = counter)
+        }
+      }
+      RainObs(r.event_id, userId, day, counter, daily, rate)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Streaming rain pipeline: per-user stateful accumulation. Input is a
+    * (possibly unbounded) stream of readings; output one RainObs per
+    * reading, exactly the batch `WeatherQueries.rainDaily` semantics. */
+  def rainDailyStream(readings: Dataset[SensorReading]): Dataset[RainObs] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RainState, RainObs](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(updateRain)
+  }
+
+  /** Event-time tumbling aggregation with a watermark: late rows beyond
+    * `lateness` are dropped — the generalized form of the reference's
+    * stale-measurement guard (:244). */
+  def hourlyStats(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based session aggregation (30 min) with watermark. */
+  def sessionStats(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+              col("n"), col("sum_value"))
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.WeatherStream
+import graft.streaming.WeatherStream.{RainObs, SensorReading}
+
+/** Streaming surface tests (SURVEY.md §5.4): cross-batch state carry for
+  * the rain machine, streaming==batch equivalence, and watermark
+  * late-data drop. MemoryStream + processAllAvailable makes micro-batches
+  * synchronous. */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0, day: Int = 1): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+
+  test("rain state machine carries state across micro-batches and days") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SensorReading]
+    val q = WeatherStream.rainDailyStream(input.toDS()).writeStream
+      .format("memory").queryName("rain_out").outputMode("append").start()
+    try {
+      // batch 1: day 1, first two observations
+      input.addData(
+        SensorReading(0, 7, ts(0, 10), 1.0),
+        SensorReading(1, 7, ts(0, 25), 2.0))
+      q.processAllAvailable()
+      // batch 2: same day continues (state must survive the batch boundary),
+      // then a day rollover
+      input.addData(
+        SensorReading(2, 7, ts(5, 0), 0.5),
+        SensorReading(3, 7, ts(1, 0, day = 2), 4.0))
+      q.processAllAvailable()
+
+      val got = spark.table("rain_out").as[RainObs].collect()
+        .sortBy(_.event_id).toSeq
+      val want = Seq(
+        // e0: first obs of day 1 -> rollover reset, all zero
+        RainObs(0, 7, "2024-01-01", 1.0, 0.0, 0.0),
+        // e1: daily = 3-1 = 2, first rain of day -> rate = 4*2
+        RainObs(1, 7, "2024-01-01", 3.0, 2.0, 8.0),
+        // e2 (new batch, same day): daily = 3.5-1, rate = 4*(3.5-3)
+        RainObs(2, 7, "2024-01-01", 3.5, 2.5, 2.0),
+        // e3: new day -> reset
+        RainObs(3, 7, "2024-01-02", 7.5, 0.0, 0.0))
+      assert(got.size === want.size)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.day === w.day && math.abs(g.total_rain_mm - w.total_rain_mm) < 1e-9
+          && math.abs(g.daily_rain_mm - w.daily_rain_mm) < 1e-9
+          && math.abs(g.rain_rate_mmh - w.rain_rate_mmh) < 1e-9, s"got $g want $w")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming rain == batch rainDaily on identical data") {
+    val readings = (0 until 50).map { i =>
+      SensorReading(i.toLong, i.toLong % 3,
+        new Timestamp(ts(0).getTime + i * 3600L * 1000L), (i % 7) * 0.5)
+    }
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SensorReading]
+    val q = WeatherStream.rainDailyStream(input.toDS()).writeStream
+      .format("memory").queryName("rain_eq").outputMode("append").start()
+    try {
+      val (a, b) = readings.splitAt(23) // uneven split across a batch boundary
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("rain_eq").as[RainObs].collect()
+        .sortBy(_.event_id).toSeq
+      val batch = graft.operators.WeatherQueries.rainDaily(
+          readings.toDF("event_id", "user_id", "ts", "value"))
+        .orderBy("event_id").collect()
+        .map(r => RainObs(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      assert(streamed.size === batch.size)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.day === b.day
+          && math.abs(s.total_rain_mm - b.total_rain_mm) < 1e-6
+          && math.abs(s.daily_rain_mm - b.daily_rain_mm) < 1e-6
+          && math.abs(s.rain_rate_mmh - b.rain_rate_mmh) < 1e-6, s"stream $s batch $b")
+      }
+    } finally q.stop()
+  }
+
+  test("watermark drops late data beyond the lateness bound") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = WeatherStream.hourlyStats(events, lateness = "1 hour").writeStream
+      .format("memory").queryName("wm_out").outputMode("append").start()
+    try {
+      input.addData((ts(10, 15), "click", 1.0), (ts(10, 45), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time to 20:00 -> watermark 19:00 -> 10:00 window final
+      input.addData((ts(20, 0), "click", 1.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("wm_out").collect()
+      assert(afterClose.exists(r => r.getString(1) == "click" && r.getLong(2) == 2L),
+        s"10:00 window should have closed with 2 events: ${afterClose.toSeq}")
+      // a very late row for the 10:00 window must be dropped
+      input.addData((ts(10, 30), "click", 99.0))
+      q.processAllAvailable()
+      input.addData((ts(22, 0), "click", 1.0)) // push watermark again
+      q.processAllAvailable()
+      val finalRows = spark.table("wm_out").collect()
+      val w10 = finalRows.filter(r => r.getTimestamp(0) == ts(10, 0))
+      assert(w10.length === 1 && w10.head.getLong(2) === 2L,
+        s"late row leaked into closed window: ${w10.toSeq}")
+    } finally q.stop()
+  }
+}
