@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: dumps `explain(formatted)` for representative queries so
+  * plan quality (pushdown, pruning, broadcast selection, codegen spans)
+  * is inspectable — the "is this the plan you'd want at 100 TB" loop.
+  *
+  * Usage: runMain graft.ExplainAudit [sfDir] [outFile]
+  */
+object ExplainAudit {
+  private val Audited = Seq(
+    "scan_parquet",     // PushedFilters/ReadSchema: pruning must reach parquet
+    "filter_predicate", // predicate pushdown
+    "agg_groupby",      // partial agg before shuffle
+    "join_inner",       // big-big join strategy
+    "join_broadcast",   // BroadcastHashJoin expected
+    "topk",             // TakeOrderedAndProject expected
+    "win_rank",         // single shuffle + sort for windows
+    "sim_knn",          // codegen'd vec_cosine in the loop
+    "wx_wow_record")    // flagship: windows + scalar derivations fused
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("/tmp/explain_audit.md")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sb = new StringBuilder("# Plan audit\n")
+    Audited.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

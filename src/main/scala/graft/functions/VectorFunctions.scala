@@ -2,29 +2,32 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.expressions.{VecCosine, VecDot}
 
-/** Vector math over `array<float>` embedding columns, as pure higher-order
-  * column expressions (no UDFs; NS mandate: similarity search).
+/** Vector math over `array<float>`/`array<double>` embedding columns
+  * (NS mandate: similarity search).
   *
-  * These compose `zip_with`/`aggregate`, which evaluate per-element in the
-  * interpreter — correct and shuffle-free, but not codegen'd. The planned
-  * upgrade path (SURVEY.md §4) is a native Catalyst `Expression` with
-  * `doGenCode` for the dot product; the call sites here won't change shape.
+  * Backed by native codegen'd Catalyst expressions
+  * ([[graft.expressions.VecDot]] / [[graft.expressions.VecCosine]]) — a
+  * tight primitive loop inside whole-stage codegen. Accumulation order
+  * (sequential left-to-right in double) is identical to the previous
+  * higher-order-function formulation, so results are bit-compatible.
   */
 object VectorFunctions {
 
+  private def expr2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                        org.apache.spark.sql.catalyst.expressions.Expression) =>
+                       org.apache.spark.sql.catalyst.expressions.Expression)
+                   (a: Column, b: Column): Column =
+    ColumnBridge.column(f(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = expr2(VecDot)(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0.0 for zero-norm inputs (rather than NaN) so
     * downstream top-k ordering stays total. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, 0.0).otherwise(d / nn)
-  }
+  def cosine(a: Column, b: Column): Column = expr2(VecCosine)(a, b)
 }

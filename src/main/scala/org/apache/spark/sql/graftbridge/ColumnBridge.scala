@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column<->Expression
+  * converters (Spark 4 removed the public `new Column(expr)` path).
+  * This is the conventional pattern for Catalyst extension libraries:
+  * one tiny object inside the sql package namespace, nothing else
+  * reaches into internals.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
