@@ -133,6 +133,49 @@ object WeatherQueries {
               |    AS DOUBLE) AS rain_rate_mmh
               |FROM c ORDER BY event_id""".stripMargin)),
 
+    // O4: the barometer HTML-scrape parse. The reference slices 5-6 chars
+    // before the literal 'hPa' and re-parses on NaN (:177-183); the regex
+    // subsumes both digit widths. The HTML is reconstructed from the
+    // synthetic pressure channel so extract(parse(render(x))) == x.
+    Q("wx_parse_baro",
+      (s, dir) => sensors(Tables.events(s, dir))
+        .withColumn("html",
+          concat(lit("<tr><td>Pressure</td><td>"), round(col("baro_hpa"), 1).cast("string"),
+                 lit(" hPa</td></tr>")))
+        .select(col("event_id"),
+          regexp_extract(col("html"), "([0-9]+\\.?[0-9]*) hPa", 1).cast("double")
+            .as("baro_parsed_hpa"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(html, '([0-9]+\.?[0-9]*) hPa', 1) AS DOUBLE) AS baro_parsed_hpa
+             |FROM (SELECT event_id,
+             |        '<tr><td>Pressure</td><td>' || CAST(round(950.0 + fmod(value, 100.0), 1) AS VARCHAR)
+             |          || ' hPa</td></tr>' AS html
+             |      FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
+    // O20+O21: the actual WOW wire format — all 12 fields as strings with
+    // the reference's toFixed() decimal places (:349-365,373-387). String
+    // formatting stays out of the DuckDB oracle (SURVEY.md §7.3);
+    // golden-pinned in WeatherFunctionsSpec instead.
+    Q("wx_wow_record_wire",
+      (s, dir) => {
+        val rec = wowRecord(s, dir)
+        rec.select(col("event_id"), col("siteid"), col("dateutc"),
+          format_number(col("tempf"), 1).as("tempf"),
+          format_number(col("humidity"), 0).as("humidity"),
+          format_number(col("windspeedmph"), 2).as("windspeedmph"),
+          format_number(col("windgustmph"), 2).as("windgustmph"),
+          format_string("%.0f", col("winddir")).as("winddir"),
+          format_number(col("dewptf"), 1).as("dewptf"),
+          format_number(col("dailyrainin"), 3).as("dailyrainin"),
+          format_number(col("rainin"), 3).as("rainin"),
+          format_number(col("baromin"), 3).as("baromin"),
+          col("softwaretype"))
+          .orderBy("event_id")
+      },
+      None),
+
     // O21 flagship: the full 12-field WOW observation record (D4), composing
     // O5 + O9-O19 into one projection. Numeric fields are emitted as rounded
     // numerics per SURVEY.md §7.3 (string formatting is covered by

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming publication sink mirroring the reference's WOW upload
+  * (MetOffice_WOW_Connect.txt:369-409, O21/O22): each micro-batch's
+  * observation records are posted through a pluggable transport.
+  *
+  * Error semantics follow the reference faithfully:
+  *  - ingest/transform errors fail the micro-batch => the trigger retries
+  *    (at-least-once), like the early-abort at :125-135 (O2);
+  *  - transport (sink) errors are logged and NOT retried (at-most-once),
+  *    like the log-and-exit at :396-409 (O22).
+  *
+  * Scale: records post per-partition from the executors (no driver
+  * collect); one transport instance per partition per batch, amortized
+  * over the iterator — at the reference's 1 row/batch this degenerates to
+  * exactly its behavior.
+  *
+  * The environment has no egress, so the default transport appends to an
+  * in-process buffer; a production deployment passes an HTTP POST
+  * transport with the same signature.
+  */
+object WowSink {
+
+  /** Posts a partition of serialized records; returns false on failure. */
+  type Transport = Iterator[String] => Boolean
+
+  /** In-process buffer transport (test/demo default). */
+  object BufferTransport extends Serializable {
+    val sent = new ConcurrentLinkedQueue[String]()
+    val failures = new ConcurrentLinkedQueue[String]()
+    def apply(): Transport = { it => it.foreach(sent.add); true }
+    def failing(): Transport = { it => it.foreach(failures.add); false }
+    def clear(): Unit = { sent.clear(); failures.clear() }
+  }
+
+  /** Start publishing a streaming DataFrame of observation records. */
+  def start(records: DataFrame, transport: Transport,
+            queryName: String = "wow_sink"): StreamingQuery =
+    records.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.toJSON.foreachPartition { part: Iterator[String] =>
+          if (!transport(part)) {
+            // O22: log, do not rethrow -> no retry (at-most-once), exactly
+            // the reference's sink error path (:396-409).
+            System.err.println(s"[WowSink] post failed for batch $batchId (dropped)")
+          }
+        }
+        ()
+      }
+      .start()
+}

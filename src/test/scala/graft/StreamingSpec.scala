@@ -85,6 +85,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("WowSink posts per-partition and drops (not retries) on transport failure") {
+    import graft.streaming.WowSink
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    WowSink.BufferTransport.clear()
+    val input = MemoryStream[SensorReading]
+    val q = WowSink.start(input.toDF(), WowSink.BufferTransport(), "wow_ok")
+    try {
+      input.addData(SensorReading(1, 1, ts(6), 1.0), SensorReading(2, 1, ts(7), 2.0))
+      q.processAllAvailable()
+      assert(WowSink.BufferTransport.sent.size === 2)
+    } finally q.stop()
+    // failing transport: records dropped, query keeps running (at-most-once)
+    WowSink.BufferTransport.clear()
+    val input2 = MemoryStream[SensorReading]
+    val q2 = WowSink.start(input2.toDF(), WowSink.BufferTransport.failing(), "wow_fail")
+    try {
+      input2.addData(SensorReading(3, 1, ts(8), 1.0))
+      q2.processAllAvailable()
+      input2.addData(SensorReading(4, 1, ts(9), 1.0))
+      q2.processAllAvailable() // no exception: the stream survived the sink failure
+      assert(WowSink.BufferTransport.sent.isEmpty)
+      assert(q2.isActive)
+    } finally q2.stop()
+  }
+
   test("watermark drops late data beyond the lateness bound") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]

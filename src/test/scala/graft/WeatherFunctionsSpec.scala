@@ -55,6 +55,29 @@ class WeatherFunctionsSpec extends AnyFunSuite with SparkTestBase {
       1000.0 * 1.0005889380830755)
   }
 
+  test("wire record formats with the reference's toFixed decimal places (ref :349-365)") {
+    val row = graft.SparkEntry.queries("wx_wow_record_wire")(spark, SF)
+      .orderBy("event_id").limit(1).collect().head
+    val byName = row.schema.fieldNames.zip(row.toSeq.map(String.valueOf)).toMap
+    // toFixed(1) temps, (0) humidity/winddir, (2) speeds, (3) rain/pressure
+    assert(byName("tempf").matches("""-?[\d,]+\.\d"""), byName("tempf"))
+    assert(byName("humidity").matches("""\d+"""), byName("humidity"))
+    assert(byName("windspeedmph").matches("""[\d,]+\.\d{2}"""), byName("windspeedmph"))
+    assert(byName("dailyrainin").matches("""[\d,]+\.\d{3}"""), byName("dailyrainin"))
+    assert(byName("baromin").matches("""[\d,]+\.\d{3}"""), byName("baromin"))
+    assert(byName("winddir").matches("""\d+"""), byName("winddir"))
+    assert(byName("dateutc").matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
+  }
+
+  test("barometer HTML parse round-trips the rendered pressure (ref :177-183)") {
+    val df = graft.SparkEntry.queries("wx_parse_baro")(spark, SF)
+    val n = df.count()
+    assert(n === 1000L)
+    val bad = df.filter(col("baro_parsed_hpa").isNull
+      || col("baro_parsed_hpa") < 950.0 || col("baro_parsed_hpa") >= 1050.1).count()
+    assert(bad === 0L, s"$bad rows failed to parse back into the valid range")
+  }
+
   test("unit conversions use the exact reference factors (ref :338-365)") {
     assertNear(eval1(cToF(lit(100.0))), 212.0)
     assertNear(eval1(msToMph(lit(10.0))), 22.36936)
