@@ -17,6 +17,7 @@ object SparkEntry {
     AggQueries.all,
     FunctionQueries.all,
     WindowQueries.all,
+    AdvancedQueries.all,
     WeatherQueries.all,
     TextQueries.all,
     DedupQueries.all,
