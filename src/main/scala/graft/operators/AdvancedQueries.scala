@@ -53,12 +53,12 @@ object AdvancedQueries {
         Tables.orders(s, dir).createOrReplaceTempView("graft_orders_ss")
         s.sql("""SELECT o_orderkey, o_totalprice
                 |FROM graft_orders_ss
-                |WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM graft_orders_ss)
+                |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM graft_orders_ss)
                 |ORDER BY o_orderkey""".stripMargin)
       },
       Some("""SELECT o_orderkey, o_totalprice
              |FROM orders
-             |WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+             |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
              |ORDER BY o_orderkey""".stripMargin)),
 
     // Correlated scalar subquery: Catalyst decorrelates to an aggregate +

@@ -37,7 +37,7 @@ object WeatherQueries {
   /** Synthetic sensor channels from events.value (deterministic, identical
     * arithmetic on both engines; floor() used because Spark's double->int
     * cast truncates while DuckDB's rounds). */
-  private def sensors(df: DataFrame): DataFrame = df
+  def sensors(df: DataFrame): DataFrame = df
     .withColumn("t_c", col("value") % 40.0 - 5.0)          // [-5, 35)
     .withColumn("rh_pct", lit(30.0) + col("value") % 70.0) // [30, 100)
     .withColumn("ws_ms", col("value") % 25.0)
@@ -205,20 +205,11 @@ object WeatherQueries {
           .cast("double").as("rain_rate_mmh"))
   }
 
-  /** The flagship pipeline; also SparkEntry.entry. */
-  def wowRecord(s: SparkSession, dir: String): DataFrame = {
-    val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wDay = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    val base = sensors(Tables.events(s, dir))
-      .withColumn("counter",
-        sum(col("value").cast(DecimalType(25, 6))).over(
-          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      .withColumn("day_start", first(col("counter")).over(wDay))
-      .withColumn("prev_counter", lag(col("counter"), 1).over(wDay))
-      .withColumn("dailyrain_mm", (col("counter") - col("day_start")).cast("double"))
-      .withColumn("rain_mmh",
-        coalesce((col("counter") - col("prev_counter")) * lit(ObsFreq), lit(0.0)).cast("double"))
+  /** The D4 12-field projection over any frame carrying (event_id, ts,
+    * sensor channels, dailyrain_mm, rain_mmh) — shared by the batch
+    * flagship and the streaming pipeline (graft.streaming.WeatherPipeline),
+    * so both paths emit byte-identical records. */
+  def wowProjection(base: DataFrame): DataFrame =
     base.select(
       col("event_id"),
       lit("graft-site-0001").as("siteid"),
@@ -234,8 +225,27 @@ object WeatherQueries {
       r6(hpaToInHg(mslPressureHpa(col("baro_hpa"), col("t_c"), lit(LatitudeDeg), lit(AltitudeM))))
         .as("baromin"),
       lit("graft-spark-0.1").as("softwaretype"))
-      .orderBy("event_id")
+
+  /** Batch flagship over any (event_id, user_id, ts, value) frame. */
+  def wowRecordFrom(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wDay = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    val base = sensors(events)
+      .withColumn("counter",
+        sum(col("value").cast(DecimalType(25, 6))).over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("day_start", first(col("counter")).over(wDay))
+      .withColumn("prev_counter", lag(col("counter"), 1).over(wDay))
+      .withColumn("dailyrain_mm", (col("counter") - col("day_start")).cast("double"))
+      .withColumn("rain_mmh",
+        coalesce((col("counter") - col("prev_counter")) * lit(ObsFreq), lit(0.0)).cast("double"))
+    wowProjection(base)
   }
+
+  /** The flagship pipeline; also SparkEntry.entry. */
+  def wowRecord(s: SparkSession, dir: String): DataFrame =
+    wowRecordFrom(Tables.events(s, dir)).orderBy("event_id")
 
   private lazy val wowRecordSql: String =
     s"""WITH sens AS (

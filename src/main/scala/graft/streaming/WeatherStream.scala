@@ -28,7 +28,8 @@ object WeatherStream {
   final case class RainState(day: String, totalRainStart: Double,
                              totalRainLatest: Double, counter: Double)
 
-  final case class RainObs(event_id: Long, user_id: Long, day: String,
+  final case class RainObs(event_id: Long, user_id: Long, ts: Timestamp,
+                           value: Double, day: String,
                            total_rain_mm: Double, daily_rain_mm: Double,
                            rain_rate_mmh: Double)
 
@@ -65,7 +66,7 @@ object WeatherStream {
             st = st.copy(totalRainLatest = counter)
         }
       }
-      RainObs(r.event_id, userId, day, counter, daily, rate)
+      RainObs(r.event_id, userId, r.ts, r.value, day, counter, daily, rate)
     }
     state.update(st)
     out.iterator

@@ -39,13 +39,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .sortBy(_.event_id).toSeq
       val want = Seq(
         // e0: first obs of day 1 -> rollover reset, all zero
-        RainObs(0, 7, "2024-01-01", 1.0, 0.0, 0.0),
+        RainObs(0, 7, ts(0, 10), 1.0, "2024-01-01", 1.0, 0.0, 0.0),
         // e1: daily = 3-1 = 2, first rain of day -> rate = 4*2
-        RainObs(1, 7, "2024-01-01", 3.0, 2.0, 8.0),
+        RainObs(1, 7, ts(0, 25), 2.0, "2024-01-01", 3.0, 2.0, 8.0),
         // e2 (new batch, same day): daily = 3.5-1, rate = 4*(3.5-3)
-        RainObs(2, 7, "2024-01-01", 3.5, 2.5, 2.0),
+        RainObs(2, 7, ts(5, 0), 0.5, "2024-01-01", 3.5, 2.5, 2.0),
         // e3: new day -> reset
-        RainObs(3, 7, "2024-01-02", 7.5, 0.0, 0.0))
+        RainObs(3, 7, ts(1, 0, day = 2), 4.0, "2024-01-02", 7.5, 0.0, 0.0))
       assert(got.size === want.size)
       got.zip(want).foreach { case (g, w) =>
         assert(g.day === w.day && math.abs(g.total_rain_mm - w.total_rain_mm) < 1e-9
@@ -73,14 +73,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val batch = graft.operators.WeatherQueries.rainDaily(
           readings.toDF("event_id", "user_id", "ts", "value"))
         .orderBy("event_id").collect()
-        .map(r => RainObs(r.getLong(0), r.getLong(1), r.getString(2),
-          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+        .map(r => (r.getLong(0), r.getString(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
       assert(streamed.size === batch.size)
-      streamed.zip(batch).foreach { case (s, b) =>
-        assert(s.day === b.day
-          && math.abs(s.total_rain_mm - b.total_rain_mm) < 1e-6
-          && math.abs(s.daily_rain_mm - b.daily_rain_mm) < 1e-6
-          && math.abs(s.rain_rate_mmh - b.rain_rate_mmh) < 1e-6, s"stream $s batch $b")
+      streamed.zip(batch).foreach { case (s, (bid, bday, btot, bdaily, brate)) =>
+        assert(s.event_id === bid && s.day === bday
+          && math.abs(s.total_rain_mm - btot) < 1e-6
+          && math.abs(s.daily_rain_mm - bdaily) < 1e-6
+          && math.abs(s.rain_rate_mmh - brate) < 1e-6, s"stream $s batch ($bid,$bday,$btot,$bdaily,$brate)")
       }
     } finally q.stop()
   }
