@@ -139,6 +139,25 @@ object AggQueries {
         .orderBy("o_orderstatus"),
       None), // percentile sketches differ across engines; checked in AggSpec.
 
+    // Exact percentiles (sort-based): deterministic, unlike the sketch in
+    // agg_stats — this is the oracled variant. At 100 TB prefer
+    // percentile_approx; exact percentile is a per-group sort.
+    Q("agg_percentile",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_orders_pct")
+        s.sql("""SELECT o_orderstatus,
+                |  round(percentile(o_totalprice, 0.5), 6) AS p50,
+                |  round(percentile(o_totalprice, 0.9), 6) AS p90,
+                |  round(percentile(o_totalprice, 0.99), 6) AS p99
+                |FROM graft_orders_pct GROUP BY o_orderstatus
+                |ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+             |  round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     Q("agg_minmax",
       (s, dir) => Tables.orders(s, dir)
         .groupBy("o_orderstatus")

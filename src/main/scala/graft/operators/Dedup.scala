@@ -50,16 +50,38 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: (d1, d2, j_est, j_exact), exact Jaccard
     * verified on banded candidates only. numPerm must be divisible by
-    * bands. */
+    * bands. Signatures via per-permutation min() expressions (codegen'd). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numPerm: Int = 32, bands: Int = 8, k: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    require(numPerm % bands == 0, "numPerm must be divisible by bands")
-    val rowsPerBand = numPerm / bands
     val sh = shingles(df, idCol, textCol, k)
     val sig = sh.groupBy(idCol).agg(
       min(xxhash64(lit(0), col("shingle"))).as("m0"),
       (1 until numPerm).map(p => min(xxhash64(lit(p), col("shingle"))).as(s"m$p")): _*)
+    minhashTail(sh, sig, idCol, numPerm, bands, threshold)
+  }
+
+  /** Same pipeline, signatures via the typed
+    * [[graft.functions.MinHashAggregator]] UDAF (one state buffer per
+    * group instead of numPerm aggregate columns). */
+  def minhashPairsAgg(df: DataFrame, idCol: String, textCol: String,
+                      numPerm: Int = 32, bands: Int = 8, k: Int = 3,
+                      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val sh = shingles(df, idCol, textCol, k)
+    val mh = udaf(new graft.functions.MinHashAggregator(numPerm), Encoders.STRING)
+    val sig = sh.groupBy(idCol).agg(mh(col("shingle")).as("sig"))
+      .select(col(idCol) +:
+        (0 until numPerm).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+    minhashTail(sh, sig, idCol, numPerm, bands, threshold)
+  }
+
+  /** Banding + candidate join + estimate + exact-Jaccard verification over
+    * a (idCol, m0..m{numPerm-1}) signature frame. */
+  private def minhashTail(sh: DataFrame, sig: DataFrame, idCol: String,
+                          numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val rowsPerBand = numPerm / bands
     val bandCols = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
     }

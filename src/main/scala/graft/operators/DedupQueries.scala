@@ -81,6 +81,15 @@ object DedupQueries {
         .orderBy("d1", "d2"),
       None),
 
+    // Same pipeline through the typed Aggregator UDAF surface (SURVEY.md
+    // §2B: custom-state aggregates use Aggregator[IN,BUF,OUT]).
+    Q("dedup_minhash_agg",
+      (s, dir) => Dedup.minhashPairsAgg(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("d1"), col("d2"), r6(col("j_est")).as("j_est"),
+                r6(col("j_exact")).as("j_exact"))
+        .orderBy("d1", "d2"),
+      None),
+
     // SimHash near-dup: 4×16-bit band candidates, hamming verify.
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")

@@ -56,6 +56,28 @@ object MultimodalQueries {
              |  'text/plain' AS mime
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Payload chunking: fixed-size segments with per-chunk digests — the
+    // shape used to ship large media blobs through bounded-size records.
+    // This corpus is ASCII so char==byte; a binary corpus swaps substr on
+    // string for substr on binary (same Spark expression).
+    Q("mm_chunks",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          posexplode(expr(
+            """transform(sequence(0, cast(ceil(length(text)/256.0) as int) - 1),
+              |          i -> substr(text, i*256 + 1, 256))""".stripMargin)))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          length(col("col")).as("chunk_len"),
+          md5(col("col").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             |  CAST(length(substr(text, CAST(i*256+1 AS INTEGER), 256)) AS INTEGER) AS chunk_len,
+             |  md5(substr(text, CAST(i*256+1 AS INTEGER), 256)) AS chunk_md5
+             |FROM (SELECT doc_id, text,
+             |        unnest(range(0, CAST(ceil(length(text)/256.0) AS BIGINT))) AS i
+             |      FROM documents)
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Partition-wise decode → typed features (STUB decode, real plumbing).
     Q("mm_decode",
       (s, dir) => {

@@ -22,6 +22,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"minhash missed ${exact -- lsh} / hallucinated ${lsh -- exact}")
   }
 
+  test("Aggregator-UDAF minhash finds the same pair set as the expression form") {
+    val expr = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agg = Dedup.minhashPairsAgg(docs, "doc_id", "text")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(agg === expr, s"missed ${expr -- agg} / extra ${agg -- expr}")
+  }
+
   test("minhash signature estimate tracks exact jaccard") {
     val rows = Dedup.minhashPairs(docs, "doc_id", "text")
       .select("j_est", "j_exact").collect()
