@@ -143,6 +143,29 @@ object WindowQueries {
              |WHERE event_type = 'purchase'
              |ORDER BY event_id""".stripMargin)),
 
+    // The same as-of semantics through the custom merge operator
+    // (graft.plans.AsofJoinPlan): one shuffle+sort per side, streamed
+    // merge, no windowed row widening. Oracle: DuckDB's native ASOF JOIN
+    // (inclusive <=, like this operator; join_asof above is the
+    // strictly-prior window formulation).
+    Q("join_asof_custom",
+      (s, dir) => {
+        val events = Tables.events(s, dir)
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = events.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        Asof.join(purchases, clicks, "user_id", "ts")
+          .select(col("event_id"), col("user_id"),
+                  unix_micros(col("ts")).as("ts_us"), col("r_click_id").as("click_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.event_id AS click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // REF:O9/O23 — event-time tumbling window (1 hour), batch view. The
     // streaming surface uses the identical window() operator.
     Q("win_tumbling",

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Asof
+import graft.sources.Tables
+
+/** Correctness of the custom merge as-of join operator against an
+  * independent driver-side computation, plan-shape checks, and edge cases
+  * (no match, exact-tie timestamps, empty right partition keys). */
+class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asof join semantics on a constructed example") {
+    val trades = Seq(
+      (1L, t("2024-01-01 10:00:00"), "T1"),
+      (1L, t("2024-01-01 10:05:00"), "T2"),
+      (2L, t("2024-01-01 10:01:00"), "T3"),
+      (3L, t("2024-01-01 09:00:00"), "T4") // key with no quotes at all
+    ).toDF("sym", "ts", "tag")
+    val quotes = Seq(
+      (1L, t("2024-01-01 09:59:00"), 100.0),
+      (1L, t("2024-01-01 10:05:00"), 101.0), // exact tie: <= matches
+      (1L, t("2024-01-01 10:06:00"), 999.0), // in the future: never matches
+      (2L, t("2024-01-01 10:02:00"), 200.0)  // after T3: no match for key 2
+    ).toDF("sym", "ts", "px")
+
+    val got = Asof.join(trades, quotes, "sym", "ts")
+      .select("tag", "r_px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got === Map(
+      "T1" -> Some(100.0), // latest quote <= 10:00
+      "T2" -> Some(101.0), // tie at 10:05 matches
+      "T3" -> None,        // only a later quote exists for key 2
+      "T4" -> None))       // key has no right rows
+  }
+
+  test("asof join matches an independent computation on real events data") {
+    val events = Tables.events(spark, SF)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+
+    val got = Asof.join(purchases, clicks, "user_id", "ts")
+      .select("event_id", "r_click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+
+    // independent: collect and compute per purchase
+    val clickRows = clicks.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = purchases.collect().map { p =>
+      val (pid, uid, pts) = (p.getLong(0), p.getLong(1), p.getTimestamp(2))
+      val best = clickRows.filter(c => c._1 == uid && !c._2.after(pts))
+        .sortBy(c => (c._2.getTime, c._3)).lastOption
+      pid -> best.map(_._3)
+    }.toMap
+    assert(got.size === expected.size)
+    assert(got === expected)
+  }
+
+  test("plan shape: one exchange+sort per side, no blow-up operators") {
+    val events = Tables.events(spark, SF)
+    val l = events.filter(col("event_type") === "purchase")
+    val r = events.filter(col("event_type") === "click")
+    val planStr = Asof.join(l, r, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("AsofJoin"), planStr) // nodeName strips "Exec"
+    assert(planStr.split("Exchange hashpartitioning").length == 3,
+      s"expected exactly one shuffle per side:\n$planStr")
+    assert(!planStr.contains("CartesianProduct") && !planStr.contains("BroadcastNestedLoop"),
+      s"asof must not plan a product:\n$planStr")
+  }
+}
