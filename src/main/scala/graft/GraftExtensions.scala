@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{VecCosine, VecDot}
+import graft.plans.AsofJoinStrategy
+
+/** Production registration path: build the session with
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * and the engine's SQL surface is available session-wide:
+  *  - `vec_dot(a, b)` / `vec_cosine(a, b)` as native SQL functions
+  *    (same codegen'd expressions the Scala API uses), and
+  *  - the merge as-of join strategy, so `graft.plans.AsofJoin` logical
+  *    nodes plan without calling `Asof.join`'s self-registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"$name expects 2 arguments")
+        builder(exprs)
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("vec_dot", es => VecDot(es(0), es(1))))
+    ext.injectFunction(fn("vec_cosine", es => VecCosine(es(0), es(1))))
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions-registered SQL surface on a dedicated session. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // A session of its own: extensions apply only at session build, so the
+  // shared test session must not be returned by getOrCreate. Clear the
+  // active/default pointers, build the extended session over the same
+  // SparkContext, then restore the shared session as default.
+  private lazy val spark: SparkSession = {
+    val shared = SparkTestBase.session // materialize first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+    s
+  }
+
+  test("vec_dot / vec_cosine are SQL functions under the extensions") {
+    val row = spark.sql(
+      """SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |       vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+        |       vec_cosine(array(0.0F, 0.0F), array(1.0F, 0.0F)) AS z
+        |""".stripMargin).head()
+    assert(math.abs(row.getDouble(0) - 11.0) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    assert(row.getDouble(2) === 0.0) // zero-norm guard, not NaN
+  }
+
+  test("asof strategy is planner-registered (no Asof.join self-registration)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "tag")
+    val r = Seq((1L, 15L, 7.5)).toDF("k2", "t2", "v")
+    val plan = graft.plans.AsofJoin(
+      ColumnBridge.analyzed(l), ColumnBridge.analyzed(r),
+      ColumnBridge.expression(l("k")), ColumnBridge.expression(r("k2")),
+      ColumnBridge.expression(l("t")), ColumnBridge.expression(r("t2")))
+    val got = ColumnBridge.ofRows(spark, plan)
+      .select("tag", "v").collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+    assert(got === Map("a" -> None, "b" -> Some(7.5)))
+  }
+}
