@@ -27,6 +27,27 @@ object Scale {
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Banded (binned) range join: `left.join(right, lv BETWEEN rv-w AND
+    * rv+w)` without a nested-loop product. Both sides are bucketed into
+    * bins of width `w`; a left row in bin b can only match right rows in
+    * bins {b-1, b, b+1}, so the right side explodes 3x and the join becomes
+    * an equi-join on the bin id, refined by the exact predicate. At 100 TB
+    * this is a plain shuffled hash join keyed on the bin — the
+    * BroadcastNestedLoopJoin fallback needs one side to fit in memory.
+    * Equivalence with the BNLJ plan is proven in ScaleSpec. */
+  def bandedRangeJoin(left: DataFrame, leftVal: String,
+                      right: DataFrame, rightVal: String,
+                      width: Double): DataFrame = {
+    val lb = left.withColumn("__bin", floor(col(leftVal) / width).cast("long"))
+    val rb = right.withColumn("__rbin",
+      explode(array(Seq(-1, 0, 1).map(d =>
+        floor(col(rightVal) / width).cast("long") + d): _*)))
+    lb.join(rb, col("__bin") === col("__rbin")
+        && col(leftVal) >= col(rightVal) - width
+        && col(leftVal) <= col(rightVal) + width)
+      .drop("__bin", "__rbin")
+  }
+
   /** Write a DataFrame bucketed + sorted by `key` as a managed table —
     * co-locates future equi-joins/aggregations on `key` (no Exchange at
     * read time when bucket counts match; proven in ScaleSpec). */

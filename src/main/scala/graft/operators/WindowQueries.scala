@@ -97,6 +97,28 @@ object WindowQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY event_id""".stripMargin)),
 
+    // first/last/nth value over a full-partition frame (REF:O8 "latest
+    // reading" shape as window functions).
+    Q("win_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            first(col("value")).over(w).as("first_val"),
+            last(col("value")).over(w).as("last_val"),
+            nth_value(col("value"), 2).over(w).as("second_val"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value,
+             |  first_value(value) OVER w AS first_val,
+             |  last_value(value) OVER w AS last_val,
+             |  nth_value(value, 2) OVER w AS second_val
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id""".stripMargin)),
+
     // RANGE frame over a numeric (epoch-seconds) order key: 30-day trailing
     // spend per customer.
     Q("win_frame_range",

@@ -93,6 +93,14 @@ object WeatherStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup with bounded state: duplicate keys arriving
+    * within the watermark horizon are dropped, and per-key state is
+    * evicted once the watermark passes — O(distinct keys in horizon)
+    * state, the only dedup shape that survives an unbounded stream. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
+
   /** Gap-based session aggregation (30 min) with watermark. */
   def sessionStats(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events

@@ -23,6 +23,21 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.exceptAll(plain).count() === 0L)
   }
 
+  test("bandedRangeJoin == nested-loop range join, but plans as an equi-join") {
+    val c = Tables.customer(spark, SF).select("c_custkey", "c_acctbal")
+    val s = Tables.supplier(spark, SF).select("s_suppkey", "s_acctbal")
+    val bnlj = c.join(s, col("c_acctbal").between(col("s_acctbal") - 50.0,
+        col("s_acctbal") + 50.0))
+      .select("c_custkey", "s_suppkey")
+    val banded = Scale.bandedRangeJoin(c, "c_acctbal", s, "s_acctbal", 50.0)
+      .select("c_custkey", "s_suppkey")
+    assert(banded.exceptAll(bnlj).count() === 0L)
+    assert(bnlj.exceptAll(banded).count() === 0L)
+    val planStr = banded.queryExecution.executedPlan.toString
+    assert(!planStr.contains("BroadcastNestedLoop") && !planStr.contains("CartesianProduct"),
+      s"banded join must plan as an equi-join:\n$planStr")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.orders(spark, SF)
     val c = Tables.customer(spark, SF)
