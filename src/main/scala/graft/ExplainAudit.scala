@@ -19,6 +19,8 @@ object ExplainAudit {
     "topk",             // TakeOrderedAndProject expected
     "win_rank",         // single shuffle + sort for windows
     "sim_knn",          // codegen'd vec_cosine in the loop
+    "join_asof_custom", // custom AsofJoinExec: one exchange+sort per side
+    "dedup_minhash",    // LSH banding: no all-pairs product anywhere
     "wx_wow_record")    // flagship: windows + scalar derivations fused
 
   def main(args: Array[String]): Unit = {
