@@ -38,6 +38,42 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF-style approximate top-k: a k-means coarse quantizer (MLlib,
+    * fixed seed) buckets the corpus into `nlist` cells; each query probes
+    * its `nprobe` nearest centroids and ranks exact cosine only over those
+    * cells' members. At scale the corpus is bucketed once at ingest (the
+    * fit is offline) and the per-query work is |corpus|·nprobe/nlist.
+    * Output shape matches [[knn]]. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.toDF("id", "emb")
+    val fitted = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("cell")
+      .fit(c.withColumn("__fv", array_to_vector(col("emb"))))
+    val bucketed = fitted.transform(c.withColumn("__fv", array_to_vector(col("emb"))))
+      .select(col("id").as("neighbor_id"), col("emb").as("c_emb"), col("cell"))
+    // rank centroids per query by ||q - ctr||^2 = |q|^2 - 2 q.ctr + |ctr|^2
+    // (|q|^2 is constant per query, dropped); centroids ride as literals.
+    val centerCols = fitted.clusterCenters.map(_.toArray).zipWithIndex.map {
+      case (ctr, j) =>
+        struct((lit(ctr.map(x => x * x).sum) -
+                 lit(2.0) * dot(col("q_emb"), array(ctr.map(lit): _*))).as("score"),
+               lit(j).as("cell"))
+    }
+    val probed = queries.toDF("q_id", "q_emb")
+      .withColumn("probes", slice(array_sort(array(centerCols.toIndexedSeq: _*)), 1, nprobe))
+      .select(col("q_id"), col("q_emb"), explode(col("probes.cell")).as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor_id"))
+    bucketed.join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH. Same output shape as
     * [[knn]]; recall grows with `tables` and shrinks with `bits` (see
     * SimilaritySpec for the measured trade-off). */

@@ -22,6 +22,16 @@ object SimilarityQueries {
       },
       None),
 
+    // IVF variant: k-means coarse quantizer, 16 cells, probe 2.
+    Q("sim_knn_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        Similarity.ivfKnn(e, e.filter(col("vec_id") % 50 === 0), K)
+          .select(col("q_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Approximate top-k via multi-table hyperplane LSH (8 tables × 8 bits).
     Q("sim_knn_lsh",
       (s, dir) => {

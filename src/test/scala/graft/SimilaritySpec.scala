@@ -65,6 +65,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       s"LSH self-recall failed: $res (want ${base.map(b => (b._1 + 10000L, b._1)).toMap})")
   }
 
+  test("IVF finds planted near-identical vectors (self-recall)") {
+    val base = emb.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = base.map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.01f; (id + 10000L, w.toSeq)
+    }
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(planted.toSeq.toDF("vec_id", "embedding"))
+    val res = Similarity.ivfKnn(corpus, planted.toSeq.toDF("vec_id", "embedding"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = base.count { case (id, _) => res.get(id + 10000L).contains(id) }
+    assert(hits === base.length, s"IVF self-recall failed: $res")
+  }
+
+  test("IVF probes only nprobe cells: candidate count is bounded") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val got = Similarity.ivfKnn(emb, queries, 5, nlist = 16, nprobe = 2)
+    // structure: exactly <= 5 neighbors per query, ranks 1..k contiguous
+    val byQ = got.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks === (1 to ranks.size), s"ranks not contiguous: $ranks")
+      assert(ranks.size <= 5)
+    }
+    assert(byQ.nonEmpty)
+  }
+
   test("LSH recall vs brute force is meaningful on the real corpus") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val brute = Similarity.knn(emb, queries, 5).collect()
