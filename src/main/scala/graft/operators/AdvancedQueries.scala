@@ -47,6 +47,32 @@ object AdvancedQueries {
               |WHERE qty IS NOT NULL
               |ORDER BY l_returnflag, status""".stripMargin)),
 
+    // Data profiling: per-column null/distinct/min/max in ONE scan (an
+    // aggregate of 4 stats x N columns, melted with stack) — the
+    // training-data-pipeline health check, deliberately not N scans.
+    Q("profile_table",
+      (s, dir) => {
+        val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount")
+        val aggs = cols.flatMap(c => Seq(
+          count(when(col(c).isNull, 1)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")))
+        Tables.lineitem(s, dir)
+          .groupBy().agg(aggs.head, aggs.tail: _*)
+          .select(expr("stack(" + cols.size + ", " +
+            cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ") +
+            ") AS (column_name, n_nulls, n_distinct, min_val, max_val)"))
+          .orderBy("column_name")
+      },
+      Some(Seq("l_returnflag", "l_linestatus", "l_quantity", "l_discount").map(c =>
+        s"""SELECT '$c' AS column_name,
+           |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val FROM lineitem""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"))),
+
     // Uncorrelated scalar subquery: broadcast of a 1-row aggregate.
     Q("sub_scalar",
       (s, dir) => {

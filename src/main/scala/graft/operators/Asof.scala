@@ -18,6 +18,19 @@ import graft.plans.{AsofJoin, AsofJoinStrategy}
   */
 object Asof {
 
+  /** As-of join with a match-window bound (pandas merge_asof `tolerance`):
+    * matches older than `tolerance` behind the left time are nulled out.
+    * Applied as a post-projection over the merge result — the merge cost
+    * is identical, only acceptance changes. */
+  def joinWithTolerance(left: DataFrame, right: DataFrame, key: String,
+                        time: String, tolerance: org.apache.spark.sql.Column): DataFrame = {
+    val joined = join(left, right, key, time)
+    val keep = col(s"r_$time") >= col(time) - tolerance
+    val rightCols = right.columns.map(c =>
+      when(keep, col(s"r_$c")).as(s"r_$c"))
+    joined.select(left.columns.map(col) ++ rightCols: _*)
+  }
+
   def join(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {

@@ -64,6 +64,18 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
   }
 
+  test("tolerance bound nulls out stale matches") {
+    val trades = Seq((1L, t("2024-01-01 10:00:00"), "T1")).toDF("sym", "ts", "tag")
+    val quotes = Seq((1L, t("2024-01-01 08:00:00"), 50.0)).toDF("sym", "ts", "px")
+    // without tolerance: the 2h-old quote matches
+    val plain = Asof.join(trades, quotes, "sym", "ts").select("r_px").head()
+    assert(plain.getDouble(0) === 50.0)
+    // with 30-minute tolerance: too stale -> nulls
+    val bounded = Asof.joinWithTolerance(trades, quotes, "sym", "ts",
+      expr("INTERVAL 30 MINUTES")).select("r_px").head()
+    assert(bounded.isNullAt(0))
+  }
+
   test("plan shape: one exchange+sort per side, no blow-up operators") {
     val events = Tables.events(spark, SF)
     val l = events.filter(col("event_type") === "purchase")
