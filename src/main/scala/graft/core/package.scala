@@ -34,7 +34,18 @@ package object core {
   def davg(c: Column): Column = dsum(c) / count(c)
   def davgSql(x: String): String = s"${dsumSql(x)} / count($x)"
 
-  def r6(c: Column): Column = round(c, 6)
+  /** Round to n decimals the way DuckDB does: std::round(x*10^n)/10^n.
+    * Spark's round(x, n) is exact-BigDecimal HALF_UP on the binary double,
+    * which disagrees with the multiply scheme for values within 1 ulp of a
+    * half boundary (~1 in 3e4 rows at sf0.1). Scale-0 rounding of a double
+    * is identical in both engines (half away from zero), so rounding the
+    * pre-scaled product reproduces DuckDB bit-for-bit. */
+  def rN(c: Column, n: Int): Column = {
+    val p = math.pow(10.0, n)
+    round(c * p, 0) / p
+  }
+
+  def r6(c: Column): Column = rN(c, 6)
 
   /** Collect modules into the SparkEntry maps. */
   def registry(modules: Seq[Seq[Q]]): (Map[String, QueryFn], Map[String, String]) = {

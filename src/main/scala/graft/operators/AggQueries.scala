@@ -146,9 +146,9 @@ object AggQueries {
       (s, dir) => {
         Tables.orders(s, dir).createOrReplaceTempView("graft_orders_pct")
         s.sql("""SELECT o_orderstatus,
-                |  round(percentile(o_totalprice, 0.5), 6) AS p50,
-                |  round(percentile(o_totalprice, 0.9), 6) AS p90,
-                |  round(percentile(o_totalprice, 0.99), 6) AS p99
+                |  round(percentile(o_totalprice, 0.5) * 1e6) / 1e6 AS p50,
+                |  round(percentile(o_totalprice, 0.9) * 1e6) / 1e6 AS p90,
+                |  round(percentile(o_totalprice, 0.99) * 1e6) / 1e6 AS p99
                 |FROM graft_orders_pct GROUP BY o_orderstatus
                 |ORDER BY o_orderstatus""".stripMargin)
       },

@@ -75,7 +75,7 @@ object FunctionQueries {
     Q("math_funcs",
       (s, dir) => Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-          round(col("l_extendedprice"), 2).as("rounded"),
+          rN(col("l_extendedprice"), 2).as("rounded"),
           abs(col("l_quantity") - lit(25.0)).as("abs_dev"),
           ceil(col("l_discount") * 100).as("ceil_pct"),
           floor(col("l_discount") * 100).as("floor_pct"),

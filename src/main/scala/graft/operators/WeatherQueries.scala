@@ -140,7 +140,7 @@ object WeatherQueries {
     Q("wx_parse_baro",
       (s, dir) => sensors(Tables.events(s, dir))
         .withColumn("html",
-          concat(lit("<tr><td>Pressure</td><td>"), round(col("baro_hpa"), 1).cast("string"),
+          concat(lit("<tr><td>Pressure</td><td>"), rN(col("baro_hpa"), 1).cast("string"),
                  lit(" hPa</td></tr>")))
         .select(col("event_id"),
           regexp_extract(col("html"), "([0-9]+\\.?[0-9]*) hPa", 1).cast("double")
