@@ -191,6 +191,18 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice
              |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin)),
 
+    Q("join_right",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+          .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+             |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)),
+
     Q("set_union_all",
       (s, dir) => {
         val c = Tables.customer(s, dir).select(col("c_custkey").as("k"), lit("cust").as("src"))
@@ -228,5 +240,32 @@ object RelationalQueries {
       },
       Some("""SELECT c_nationkey AS nk FROM customer
              |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin)),
+
+    // Multiset (bag) semantics: each occurrence counts. Rows of equal value
+    // are interchangeable, so the value-sort is hash-compare safe.
+    Q("set_except_all",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+        val top = Tables.orders(s, dir).filter(col("o_totalprice") > 250000.0)
+          .select(col("o_custkey").as("k"))
+        o.exceptAll(top).orderBy("k")
+      },
+      Some("""SELECT o_custkey AS k FROM orders
+             |EXCEPT ALL
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0
+             |ORDER BY k""".stripMargin)),
+
+    Q("set_intersect_all",
+      (s, dir) => {
+        val a = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k"))
+        val b = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0)
+          .select(col("o_custkey").as("k"))
+        a.intersectAll(b).orderBy("k")
+      },
+      Some("""SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT ALL
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+             |ORDER BY k""".stripMargin)),
   )
 }
