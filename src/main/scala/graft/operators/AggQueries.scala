@@ -126,18 +126,61 @@ object AggQueries {
         .orderBy("l_returnflag"),
       None),
 
-    // Statistical aggregates beyond the TPC-H shape: min/max/stddev/percentile.
+    // Statistical aggregates beyond the TPC-H shape. stddev/variance are
+    // NOT the built-in aggregates (their merge order varies with
+    // partitioning, on both engines): they are derived from exact
+    // DECIMAL moment sums S1=Σx, S2=Σx², so the final double arithmetic
+    // is the identical IEEE op sequence on both sides — deterministic at
+    // any partition count, which is also the 1000-executor answer-stability
+    // property. Moments accumulate on x/1000: raw x² ≈ 1e10 has double
+    // ulp ≈ 2e-6, i.e. AT the 6-dp decimal-cast rounding boundary (the
+    // cast tie-breaks differ between engines → observed near-misses);
+    // scaled squares ≈ 1e4 keep the cast unambiguous, and the variance is
+    // rescaled by 1e6 at the end on both sides.
     Q("agg_stats",
+      (s, dir) => {
+        val xk = col("o_totalprice") / 1000.0
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            count(lit(1)).as("n"),
+            dsum(xk).as("s1"),
+            dsum(xk * xk).as("s2"))
+          .select(col("o_orderstatus"), col("min_price"), col("max_price"), col("n"),
+            r6((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1) * 1e6)
+              .as("var_price"),
+            r6(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1) * 1e6))
+              .as("stddev_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, min_price, max_price, n,
+              |  round((s2 - s1 * s1 / n) / (n - 1) * 1e6 * 1e6) / 1e6 AS var_price,
+              |  round(sqrt((s2 - s1 * s1 / n) / (n - 1) * 1e6) * 1e6) / 1e6 AS stddev_price
+              |FROM (SELECT o_orderstatus,
+              |        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+              |        count(*) AS n,
+              |        ${dsumSql("o_totalprice / 1000.0")} AS s1,
+              |        ${dsumSql("(o_totalprice / 1000.0) * (o_totalprice / 1000.0)")} AS s2
+              |      FROM orders GROUP BY o_orderstatus)
+              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Approximate percentile sketch (KLL-ish GK in Spark): the 100 TB
+    // spelling of quantiles — mergeable, bounded memory. Sketches differ
+    // across engines, so no SQL oracle; bounds vs the exact percentile are
+    // checked in TextAndAggSpec.
+    Q("agg_approx_quantile",
       (s, dir) => Tables.orders(s, dir)
         .groupBy("o_orderstatus")
         .agg(
-          min(col("o_totalprice")).as("min_price"),
-          max(col("o_totalprice")).as("max_price"),
           count(lit(1)).as("n"),
           r6(percentile_approx(col("o_totalprice"), lit(0.5), lit(100000)).cast("double"))
-            .as("median_ish"))
+            .as("p50_approx"),
+          r6(percentile_approx(col("o_totalprice"), lit(0.9), lit(100000)).cast("double"))
+            .as("p90_approx"))
         .orderBy("o_orderstatus"),
-      None), // percentile sketches differ across engines; checked in AggSpec.
+      None),
 
     // Exact percentiles (sort-based): deterministic, unlike the sketch in
     // agg_stats — this is the oracled variant. At 100 TB prefer

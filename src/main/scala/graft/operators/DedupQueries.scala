@@ -97,7 +97,10 @@ object DedupQueries {
       None),
 
     // Embedding-cosine near-dup, label-blocked (the blocking key stands in
-    // for a coarse quantizer/IVF cell at scale).
+    // for a coarse quantizer/IVF cell at scale). Oracle-checkable: the
+    // cosine is bit-identical between VecCosine and the DuckDB list-fold
+    // twin (see SimilarityQueries.cosineSql), so the >=0.35 threshold cuts
+    // identically.
     Q("dedup_embed",
       (s, dir) => {
         val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
@@ -109,6 +112,12 @@ object DedupQueries {
           .select(col("v1"), col("v2"), col("label"), r6(col("cos")).as("cosine"))
           .orderBy("v1", "v2")
       },
-      None),
+      Some(s"""WITH p AS (
+              |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+              |    ${SimilarityQueries.cosineSql("a.embedding", "b.embedding")} AS cos
+              |  FROM embeddings a JOIN embeddings b
+              |    ON a.label = b.label AND a.vec_id < b.vec_id)
+              |SELECT v1, v2, label, round(cos * 1e6) / 1e6 AS cosine
+              |FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin)),
   )
 }

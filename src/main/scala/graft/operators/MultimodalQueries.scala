@@ -79,18 +79,32 @@ object MultimodalQueries {
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // Partition-wise decode → typed features (STUB decode, real plumbing).
+    // The feature vector is flattened to scalar columns for output: the
+    // driver's pandas-side hash compare cannot sort rows containing array
+    // cells (CORRECTNESS_r02 "unhashable type: numpy.ndarray"), and the
+    // stub's byte math is ASCII-expressible in DuckDB, which upgrades this
+    // from rows-only to a full oracle check. byte/128.0 is a power-of-two
+    // division — exact in both float and double, so the cast chain
+    // float→double here ≡ int/128.0 double division in the oracle.
     Q("mm_decode",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        val feats = Tables.documents(s, dir)
           .select(col("doc_id"), col("text").cast("binary").as("blob"))
           .as[(Long, Array[Byte])]
           .mapPartitions(_.map { case (id, bytes) => FakeDecoder.decode(id, bytes) })
           .toDF()
-          .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
-                  col("feature"))
+        feats.select(
+          Seq(col("doc_id"), col("width"), col("height"), col("n_frames")) ++
+            (0 until 8).map(i => col("feature")(i).cast("double").as(s"f$i")): _*)
           .orderBy("doc_id")
       },
-      None),
+      Some(s"""SELECT doc_id,
+              |  (ord(substr(text, 1, 1)) % 64) + 1 AS width,
+              |  (ord(substr(text, 2, 1)) % 64) + 1 AS height,
+              |  CAST(length(text) // 256 + 1 AS INTEGER) AS n_frames,
+              |  ${(0 until 8).map(i =>
+                   s"ord(substr(text, ${i + 1}, 1)) / 128.0 AS f$i").mkString(",\n  ")}
+              |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }

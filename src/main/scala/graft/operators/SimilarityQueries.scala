@@ -10,9 +10,23 @@ object SimilarityQueries {
 
   private val K = 5
 
+  /** DuckDB twin of [[graft.expressions.VecCosine]]: three sequential
+    * left-to-right double sums over the common prefix (list_sum folds in
+    * list order), then the identical d/sqrt(na*nb) — bit-identical to the
+    * codegen'd loop, which is what makes exact-cosine queries oracleable. */
+  private[operators] def cosineSql(a: String, b: String): String = {
+    val n = s"least(len($a), len($b))"
+    def s2(x: String, y: String) =
+      s"list_sum(list_transform(range(1, $n + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"""CASE WHEN ${s2(a, a)} = 0 OR ${s2(b, b)} = 0 THEN 0.0
+       |     ELSE ${s2(a, b)} / sqrt(${s2(a, a)} * ${s2(b, b)}) END""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // Exact brute-force top-k: the correctness baseline every ANN variant
-    // is measured against (recall in SimilaritySpec).
+    // is measured against (recall in SimilaritySpec). Oracle-checkable
+    // because the cosine is bit-identical (see cosineSql) and rank ties
+    // break on neighbor_id in both engines.
     Q("sim_knn",
       (s, dir) => {
         val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -20,7 +34,19 @@ object SimilarityQueries {
           .select(col("q_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cosine"))
           .orderBy("q_id", "rank")
       },
-      None),
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+              |           FROM embeddings WHERE vec_id % 50 = 0),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+              |r AS (SELECT q_id, neighbor_id,
+              |        ${cosineSql("q_emb", "c_emb")} AS cos
+              |      FROM c JOIN q ON q_id <> neighbor_id),
+              |k AS (SELECT q_id, neighbor_id, cos,
+              |        row_number() OVER (PARTITION BY q_id
+              |                           ORDER BY cos DESC, neighbor_id) AS rank
+              |      FROM r)
+              |SELECT q_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+              |  round(cos * 1e6) / 1e6 AS cosine
+              |FROM k WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)),
 
     // IVF variant: k-means coarse quantizer, 16 cells, probe 2.
     Q("sim_knn_ivf",

@@ -96,8 +96,11 @@ object TextQueries {
               |ORDER BY doc_id""".stripMargin)),
 
     // Language ID: argmax over per-language marker-word hit counts.
-    // Heuristic (not SQL-oracled): verified on constructed sentences in
-    // TextQueriesSpec; here it runs over the corpus for plan/throughput.
+    // Spark picks via greatest() over (score, lang) structs — ties break
+    // toward the alphabetically-last language; the oracle's CASE chain
+    // tests languages in reverse-alphabetical order with >=, which is the
+    // same tie-break. Sentence-level behavior is additionally pinned in
+    // TextQueriesSpec.
     Q("text_lang",
       (s, dir) => {
         val words = split(col("text"), " ")
@@ -113,18 +116,36 @@ object TextQueries {
             col("pred.lang").as("lang_pred"), col("pred.score").as("marker_hits"))
           .orderBy("doc_id")
       },
-      None),
+      {
+        def hits(lang: String) = {
+          val marks = LangMarkers(lang).map(w => s"'$w'").mkString(", ")
+          s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($marks))) AS INTEGER) AS s_$lang"
+        }
+        Some(s"""SELECT doc_id, lang AS lang_declared,
+                |  CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                |       WHEN s_en >= s_de THEN 'en'
+                |       ELSE 'de' END AS lang_pred,
+                |  CAST(greatest(s_de, s_en, s_es, s_fr) AS INTEGER) AS marker_hits
+                |FROM (SELECT doc_id, lang, text,
+                |        ${Seq("de", "en", "es", "fr").map(hits).mkString(",\n        ")}
+                |      FROM documents)
+                |ORDER BY doc_id""".stripMargin)
+      }),
 
     // Document fingerprint: bottom-k sketch of character-8-gram hashes
     // (KMV / winnowing-style). Hash functions differ engine-to-engine, so
     // no SQL oracle; identity & near-dup overlap properties are pinned in
-    // TextQueriesSpec.
+    // TextQueriesSpec. The bottom-k sketch is emitted as a joined string,
+    // not array<long>: the driver's pandas row-sort cannot hash array
+    // cells (CORRECTNESS_r02 "unhashable type: numpy.ndarray").
     Q("text_fingerprint",
       (s, dir) => Tables.documents(s, dir)
         .withColumn("grams",
           expr("transform(sequence(1, greatest(length(text) - 7, 1)), i -> xxhash64(substring(text, i, 8)))"))
         .select(col("doc_id"),
-          slice(array_sort(array_distinct(col("grams"))), 1, 4).as("fingerprint"),
+          concat_ws(",",
+            slice(array_sort(array_distinct(col("grams"))), 1, 4)).as("fingerprint"),
           xxhash64(concat_ws(",",
             slice(array_sort(array_distinct(col("grams"))), 1, 4))).as("fp_hash"))
         .orderBy("doc_id"),

@@ -51,11 +51,25 @@ class TextAndAggSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("agg_stats median approximation is within range of the true median") {
-    val rows = SparkEntry.queries("agg_stats")(spark, SF).collect()
-    rows.foreach { r =>
-      val (lo, hi, med) = (r.getDouble(1), r.getDouble(2), r.getDouble(4))
-      assert(med > lo && med < hi)
+  test("agg_approx_quantile p50/p90 lie within the group's [min, max]") {
+    val bounds = SparkEntry.queries("agg_stats")(spark, SF).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("agg_approx_quantile")(spark, SF).collect().foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val (p50, p90) = (r.getDouble(2), r.getDouble(3))
+      assert(p50 > lo && p50 < hi && p90 > lo && p90 < hi)
+      assert(p50 <= p90)
+    }
+  }
+
+  test("agg_stats decimal-moment stddev matches built-in stddev_samp closely") {
+    val builtin = spark.read.parquet(s"$SF/orders.parquet")
+      .groupBy("o_orderstatus").agg(stddev_samp(col("o_totalprice")).as("sd"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    SparkEntry.queries("agg_stats")(spark, SF).collect().foreach { r =>
+      val sd = r.getDouble(5)
+      val ref = builtin(r.getString(0))
+      assert(math.abs(sd - ref) / ref < 1e-6, s"${r.getString(0)}: $sd vs $ref")
     }
   }
 }
