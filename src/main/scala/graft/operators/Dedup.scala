@@ -35,13 +35,17 @@ object Dedup {
     *
     * The self-join key is xxhash64(shingle) (8-byte comparisons instead of
     * variable-length strings; a 64-bit collision would need ~2^32 distinct
-    * shingles per corpus to matter). */
+    * shingles per corpus to matter). The hash sits AFTER the explode, in
+    * whole-stage codegen — measured: moving it inside the transform()
+    * lambda (interpreted per element, like all HOF lambdas) is 4-8x
+    * slower despite touching 50x fewer "rows". Keep hot scalar work in
+    * codegen'd row expressions, not lambda bodies.
+    *
+    * Sizes join in afterwards against the (tiny) per-doc count table.
+    * Carrying the size along each exploded row instead measures ~2x
+    * slower: it widens the join output and the aggregation keys. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Narrow (id, hashed-shingle) rows through the big self-join — sizes
-    // join in afterwards against the (tiny) per-doc count table. Carrying
-    // the size along each exploded row instead measures ~2x slower: it
-    // widens the join output and triples the aggregation buffers.
     val sh = shingles(df, idCol, textCol, k)
       .select(col(idCol), xxhash64(col("shingle")).as("s"))
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
@@ -58,7 +62,9 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: (d1, d2, j_est, j_exact), exact Jaccard
     * verified on banded candidates only. numPerm must be divisible by
-    * bands. Signatures via per-permutation min() expressions (codegen'd). */
+    * bands. Signatures via per-permutation min() aggregate expressions —
+    * all codegen'd (see ngramJaccardPairs note: array/HOF formulations of
+    * the signature measured strictly slower). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numPerm: Int = 32, bands: Int = 8, k: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
@@ -127,16 +133,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash near-dup pairs via 4×16-bit band join:
-    * (d1, d2, hamming) with hamming <= maxHamming. */
+    * (d1, d2, hamming) with hamming <= maxHamming.
+    *
+    * Bit sums run directly over token occurrences (Σ_occurrences ±1 ≡
+    * Σ_words ±count): one explode → one hash-aggregate with 64 long
+    * buffers, instead of a (doc, word) count shuffle first — one shuffle
+    * total before the band join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8): DataFrame = {
     def bitSum(i: Int) =
-      sum(when(shiftrightunsigned(col("wh"), i).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt")))
+      sum(when(shiftrightunsigned(col("wh"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L)))
     val wc = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
-      .groupBy(idCol, "word").agg(count(lit(1)).as("cnt"))
       .withColumn("wh", xxhash64(col("word")))
     val bitSums = wc.groupBy(idCol).agg(
       bitSum(0).as("s0"), (1 until 64).map(i => bitSum(i).as(s"s$i")): _*)
