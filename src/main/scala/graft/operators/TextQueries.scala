@@ -133,6 +133,79 @@ object TextQueries {
                 |ORDER BY doc_id""".stripMargin)
       }),
 
+    // PII/entity scrubbing: regexp mask + match counts — the pre-training
+    // redaction shape (regex lives in codegen'd string expressions; one
+    // scan, no shuffle). The entity pattern fires on this corpus; the
+    // email pattern documents the real-world scrub and proves the
+    // multi-pattern plumbing. DuckDB needs the 'g' flag to match Spark's
+    // replace-all semantics.
+    Q("text_scrub",
+      (s, dir) => {
+        val entPat = "\\b(customer|supplier)\\b"
+        val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(entPat), lit(0))).as("n_entities"),
+            size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+            md5(regexp_replace(regexp_replace(col("text"), entPat, "<ENT>"),
+              emailPat, "<EMAIL>").cast("binary")).as("masked_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS INTEGER) AS n_entities,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+             |  md5(regexp_replace(regexp_replace(text, '\b(customer|supplier)\b', '<ENT>', 'g'),
+             |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS masked_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // The composed training-data prep pipeline: quality-filter → exact
+    // near-dup removal (normalized-text keeper) → token accounting, as ONE
+    // declarative plan. Catalyst fuses the scalar stages into the scan
+    // projection; the only shuffle is the dedup window on text_hash. This
+    // is the end-to-end shape a 100 TB corpus run uses, and it is fully
+    // oracle-checked.
+    Q("docs_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = filter(split(col("text"), " "), w => w =!= "")
+        val nWords = size(words)
+        val nStop = size(filter(words, w => w.isin(Stopwords.map(x => x: Any): _*)))
+        val nUniq = size(array_distinct(words))
+        val quality = least(nWords.cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - nStop.cast("double") / nWords) * 0.3 +
+          nUniq.cast("double") / nWords * 0.3
+        val w = Window.partitionBy("text_hash").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .withColumn("q", quality)
+          .filter(col("q") >= 0.5)
+          .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang"),
+            size(filter(split(col("text"), "\\s+"), x => x =!= "")).as("n_tokens"),
+            r6(col("q")).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, lang, text,
+              |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+              |      + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3
+              |      + CAST(n_uniq AS DOUBLE) / n_words * 0.3 AS q
+              |  FROM (SELECT doc_id, lang, text,
+              |          len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+              |          len(list_filter(string_split(text, ' '), w -> w IN ($stopSqlList))) AS n_stop,
+              |          len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_uniq
+              |        FROM documents)),
+              |kept AS (
+              |  SELECT doc_id, lang, text, q,
+              |    row_number() OVER (PARTITION BY md5(lower(trim(text)))
+              |                       ORDER BY doc_id) AS rn
+              |  FROM scored WHERE q >= 0.5)
+              |SELECT doc_id, lang,
+              |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+              |  round(q * 1e6) / 1e6 AS quality
+              |FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprint: bottom-k sketch of character-8-gram hashes
     // (KMV / winnowing-style). Hash functions differ engine-to-engine, so
     // no SQL oracle; identity & near-dup overlap properties are pinned in
