@@ -19,9 +19,11 @@ class MinHashAggregator(numPerm: Int)
   override def zero: Array[Long] = Array.fill(numPerm)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    // UTF-8 encode once per shingle, not once per permutation.
+    val bytes = shingle.getBytes("UTF-8")
     var p = 0
     while (p < numPerm) {
-      val h = MinHashAggregator.fnv1a64(shingle, p)
+      val h = MinHashAggregator.fnv1a64(bytes, p)
       if (h < buf(p)) buf(p) = h
       p += 1
     }
@@ -42,9 +44,8 @@ class MinHashAggregator(numPerm: Int)
 
 object MinHashAggregator {
   /** FNV-1a 64-bit over UTF-8 bytes, salted with the permutation index. */
-  def fnv1a64(s: String, salt: Int): Long = {
+  def fnv1a64(bytes: Array[Byte], salt: Int): Long = {
     var h = 0xcbf29ce484222325L ^ (salt * 0x9e3779b97f4a7c15L)
-    val bytes = s.getBytes("UTF-8")
     var i = 0
     while (i < bytes.length) {
       h ^= (bytes(i) & 0xffL)
@@ -53,6 +54,8 @@ object MinHashAggregator {
     }
     h
   }
+
+  def fnv1a64(s: String, salt: Int): Long = fnv1a64(s.getBytes("UTF-8"), salt)
 }
 
 private object ExpressionEncoders {
