@@ -49,7 +49,7 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.toDF("id", "emb")
-    val fitted = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+    val fitted = new KMeans().setK(nlist).setSeed(42).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(c.withColumn("__fv", array_to_vector(col("emb"))))
     val bucketed = fitted.transform(c.withColumn("__fv", array_to_vector(col("emb"))))
