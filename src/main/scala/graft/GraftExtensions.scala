@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{VecCosine, VecDot}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.expressions.{ShingleHash, VecCosine, VecDot}
 import graft.plans.AsofJoinStrategy
 
 /** Production registration path: build the session with
@@ -34,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("vec_dot", es => VecDot(es(0), es(1))))
     ext.injectFunction(fn("vec_cosine", es => VecCosine(es(0), es(1))))
+    ext.injectFunction(fn("shingle_hash", es => es(1) match {
+      case Literal(k: Int, IntegerType) => ShingleHash(es(0), k)
+      case other => throw new IllegalArgumentException(
+        s"shingle_hash(words, k): k must be an integer literal, got $other")
+    }))
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

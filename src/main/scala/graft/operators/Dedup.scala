@@ -21,7 +21,10 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct k-word shingles per row: (idCol, shingle). */
+  /** Distinct k-word shingles per row: (idCol, shingle). String form —
+    * kept for operators whose aggregation state is defined over shingle
+    * text (the MinHash Aggregator UDAF); the join/bucket paths use
+    * [[shingleHashes]] instead. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     df.withColumn("__words", filter(split(col(textCol), " "), w => w =!= ""))
       .filter(size(col("__words")) >= k)
@@ -29,6 +32,21 @@ object Dedup {
         s"""explode(array_distinct(transform(
            |  sequence(1, size(__words) - ${k - 1}),
            |  i -> concat_ws(' ', slice(__words, i, $k))))) AS shingle""".stripMargin))
+
+  /** Distinct hashed k-word shingles per row: (idCol, s: long), via the
+    * native codegen'd [[graft.expressions.ShingleHash]] — no per-shingle
+    * string materialization (see that scaladoc for measurements). All
+    * downstream join keys and per-permutation rehashes then operate on
+    * 8-byte longs. */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    df.withColumn("__words", words)
+      .filter(size(col("__words")) >= k)
+      .select(col(idCol), explode(array_distinct(ColumnBridge.column(
+        graft.expressions.ShingleHash(
+          ColumnBridge.expression(col("__words")), k)))).as("s"))
+  }
 
   /** Exact pairwise n-gram Jaccard over shared-shingle candidates:
     * (d1, d2, inter, n1, n2, jaccard), ids ordered d1 < d2.
@@ -46,8 +64,7 @@ object Dedup {
     * slower: it widens the join output and the aggregation keys. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
-      .select(col(idCol), xxhash64(col("shingle")).as("s"))
+    val sh = shingleHashes(df, idCol, textCol, k)
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     sh.toDF("d1", "s1")
       .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
@@ -68,10 +85,10 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numPerm: Int = 32, bands: Int = 8, k: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
+    val sh = shingleHashes(df, idCol, textCol, k)
     val sig = sh.groupBy(idCol).agg(
-      min(xxhash64(lit(0), col("shingle"))).as("m0"),
-      (1 until numPerm).map(p => min(xxhash64(lit(p), col("shingle"))).as(s"m$p")): _*)
+      min(xxhash64(lit(0), col("s"))).as("m0"),
+      (1 until numPerm).map(p => min(xxhash64(lit(p), col("s"))).as(s"m$p")): _*)
     minhashTail(sh, sig, idCol, numPerm, bands, threshold)
   }
 
@@ -87,7 +104,7 @@ object Dedup {
     val sig = sh.groupBy(idCol).agg(mh(col("shingle")).as("sig"))
       .select(col(idCol) +:
         (0 until numPerm).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
-    minhashTail(sh, sig, idCol, numPerm, bands, threshold)
+    minhashTail(shingleHashes(df, idCol, textCol, k), sig, idCol, numPerm, bands, threshold)
   }
 
   /** Banding + candidate join + estimate + exact-Jaccard verification over
@@ -115,10 +132,11 @@ object Dedup {
       .select(col("d1"), col("d2"), jEst.as("j_est"))
     // exact verification on candidates only: equi-join the hashed exploded
     // shingles of each side on (pair-partner, shingle) — intersection rows
-    // only, never the |sh(d1)|x|sh(d2)| per-pair product
+    // only, never the |sh(d1)|x|sh(d2)| per-pair product. `sh` arrives
+    // pre-hashed as (idCol, s) from shingleHashes.
     val hashed = sh
-      .select(col(idCol).as("d"), col("shingle"))
-      .groupBy("d").agg(collect_set(xxhash64(col("shingle"))).as("shs"))
+      .select(col(idCol).as("d"), col("s"))
+      .groupBy("d").agg(collect_set(col("s")).as("shs"))
       .select(col("d"), size(col("shs")).cast("long").as("n"), explode(col("shs")).as("s"))
     withEst
       .join(hashed.toDF("d1", "n1", "s"), "d1")

@@ -39,6 +39,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(2) === 0.0) // zero-norm guard, not NaN
   }
 
+  test("shingle_hash is a SQL function and matches a reference FNV-1a fold") {
+    val row = spark.sql(
+      "SELECT shingle_hash(array('a', 'b', 'c', 'd'), 3) AS h").head()
+    val got = row.getSeq[Long](0)
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    assert(got === Seq(fnv("a b c"), fnv("b c d")))
+    // fewer than k words -> empty array, not an error
+    assert(spark.sql("SELECT shingle_hash(array('a'), 3) AS h")
+      .head().getSeq[Long](0).isEmpty)
+  }
+
   test("asof strategy is planner-registered (no Asof.join self-registration)") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge
