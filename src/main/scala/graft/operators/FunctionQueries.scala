@@ -42,6 +42,26 @@ object FunctionQueries {
              |  trim('  pad  ') AS trimmed
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Edit-distance fuzzy matching (the blocking-free tail of the dedup
+    // family: levenshtein on candidate pairs; both engines implement the
+    // classic DP distance, so the values oracle-match). Small-dimension
+    // cross join — at scale this runs on blocked/LSH candidates, never
+    // all pairs.
+    Q("str_distance",
+      (s, dir) => {
+        val a = Tables.nation(s, dir).select(col("n_nationkey").as("k1"), col("n_name").as("s1"))
+        val b = Tables.nation(s, dir).select(col("n_nationkey").as("k2"), col("n_name").as("s2"))
+        a.crossJoin(b).filter(col("k1") < col("k2"))
+          .select(col("k1"), col("k2"), col("s1"), col("s2"),
+            levenshtein(col("s1"), col("s2")).as("lev"))
+          .orderBy("k1", "k2")
+      },
+      Some("""SELECT a.n_nationkey AS k1, b.n_nationkey AS k2,
+             |  a.n_name AS s1, b.n_name AS s2,
+             |  CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS lev
+             |FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
+             |ORDER BY k1, k2""".stripMargin)),
+
     Q("date_funcs",
       (s, dir) => Tables.orders(s, dir)
         .select(col("o_orderkey"),
