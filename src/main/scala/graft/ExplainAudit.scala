@@ -21,6 +21,8 @@ object ExplainAudit {
     "sim_knn",          // codegen'd vec_cosine in the loop
     "join_asof_custom", // custom AsofJoinExec: one exchange+sort per side
     "dedup_minhash",    // LSH banding: no all-pairs product anywhere
+    "profile_table",    // melt + two-level HashAggregate (no SortAggregate)
+    "docs_pipeline",    // composed prep: one window shuffle only
     "wx_wow_record")    // flagship: windows + scalar derivations fused
 
   def main(args: Array[String]): Unit = {
