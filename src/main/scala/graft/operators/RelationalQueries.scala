@@ -169,6 +169,26 @@ object RelationalQueries {
              |  ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
              |ORDER BY c_custkey, s_suppkey""".stripMargin)),
 
+    // Skew-salted join, registered as a first-class operator: the salt
+    // splits each hot key across `buckets` reducers (the 100 TB answer
+    // when one key dominates and AQE's skew handling isn't enough). The
+    // oracle is the PLAIN join — salting must be invisible in the result.
+    Q("join_salted",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        Scale.saltedJoin(li, ord, "l_orderkey", "l_linenumber", 8)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                  col("l_suppkey"), col("l_quantity"), col("o_totalprice"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  l_quantity, o_totalprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
     Q("sort_multi",
       (s, dir) => Tables.lineitem(s, dir)
         .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
