@@ -78,6 +78,29 @@ object MultimodalQueries {
              |      FROM documents)
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Frame sampling: every 4th frame index of each payload's (stub)
+    // frame count, exploded to one row per kept frame with a stable
+    // frame key — the video-curation shape (decode only sampled frames
+    // downstream). Pure codegen expressions; no shuffle before the sort.
+    Q("mm_framesample",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (octet_length(col("text").cast("binary")) / lit(256) + 1).cast("int")
+            .as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(expr("filter(sequence(0, n_frames - 1), i -> i % 4 = 0)"))
+            .as("frame_idx"))
+        .withColumn("frame_key",
+          md5(concat_ws(":", col("doc_id"), col("frame_idx")).cast("binary")))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""SELECT doc_id, n_frames, CAST(i AS INTEGER) AS frame_idx,
+             |  md5(doc_id || ':' || i) AS frame_key
+             |FROM (SELECT doc_id,
+             |        CAST(length(text) // 256 + 1 AS INTEGER) AS n_frames,
+             |        unnest(range(0, length(text) // 256 + 1)) AS i
+             |      FROM documents)
+             |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // Partition-wise decode → typed features (STUB decode, real plumbing).
     // The feature vector is flattened to scalar columns for output: the
     // driver's pandas-side hash compare cannot sort rows containing array
