@@ -11,9 +11,11 @@ import org.apache.spark.sql.SparkSession
   *  - TWO measured passes, min per query: a single pass is dominated by
   *    JIT/GC noise on sub-second queries (observed 1.3s vs 11.6s for the
   *    same groupBy across driver runs);
-  *  - timings printed with 3 decimals: the driver captures only the tail
-  *    of stdout, and full-precision doubles pushed the JSON line past the
-  *    capture window (BENCH_r01/r02 "parsed": null).
+  *  - timings printed with 2 decimals (total with 3): the driver captures
+  *    only the LAST 2000 chars of stdout, and full-precision doubles
+  *    pushed the JSON line past that window (BENCH_r01/r02 "parsed":
+  *    null). At 2 decimals the line is ~1690 chars for 82 queries,
+  *    leaving room for sbt's trailing [success] line and future growth.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,7 +43,7 @@ object Bench {
     }.toMap
     val (p1, p2) = (pass(), pass())
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
