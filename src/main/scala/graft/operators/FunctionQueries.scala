@@ -42,6 +42,49 @@ object FunctionQueries {
              |  trim('  pad  ') AS trimmed
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Null semantics, row level: SQL three-valued logic must round-trip
+    // the engine identically — NULLIF/COALESCE/NVL2, IS NULL, and
+    // null-safe equality (Spark <=> ≡ DuckDB IS NOT DISTINCT FROM). The
+    // TPC-H data has no physical nulls, so NULLIF manufactures them.
+    Q("null_row",
+      (s, dir) => Tables.lineitem(s, dir)
+        .withColumn("disc_n", expr("nullif(l_discount, 0.0)"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("disc_n"),
+          coalesce(col("disc_n"), lit(-1.0)).as("disc_or_default"),
+          col("disc_n").isNull.as("was_zero"),
+          (col("disc_n") <=> lit(0.05)).as("nse_005"),
+          expr("nvl2(disc_n, 'discounted', 'free')").as("tag"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  nullif(l_discount, 0.0) AS disc_n,
+             |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_default,
+             |  nullif(l_discount, 0.0) IS NULL AS was_zero,
+             |  nullif(l_discount, 0.0) IS NOT DISTINCT FROM 0.05 AS nse_005,
+             |  CASE WHEN nullif(l_discount, 0.0) IS NOT NULL
+             |       THEN 'discounted' ELSE 'free' END AS tag
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    // Null semantics, aggregate level: count(*) vs count(col) vs
+    // null-skipping sums, and the all-null group collapsing to NULL.
+    Q("null_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .withColumn("disc_n", expr("nullif(l_discount, 0.0)"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("disc_n")).as("n_nonnull"),
+          dsum(col("disc_n")).as("sum_nonnull"),
+          sum(expr("CAST(NULL AS DOUBLE)")).as("sum_allnull"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, count(*) AS n_rows,
+              |  count(nullif(l_discount, 0.0)) AS n_nonnull,
+              |  ${dsumSql("nullif(l_discount, 0.0)")} AS sum_nonnull,
+              |  sum(CAST(NULL AS DOUBLE)) AS sum_allnull
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)),
+
     // Edit-distance fuzzy matching (the blocking-free tail of the dedup
     // family: levenshtein on candidate pairs; both engines implement the
     // classic DP distance, so the values oracle-match). Small-dimension
