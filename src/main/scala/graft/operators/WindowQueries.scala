@@ -242,5 +242,51 @@ object WindowQueries {
               |  count(*) AS n, ${dsumSql("value")} AS sum_value
               |FROM sess GROUP BY user_id, sid
               |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // Time-series resample + gap-fill: per-key hourly grid (sequence over
+    // the key's observed span), left-join observed aggregates, forward-
+    // fill with last(..., ignoreNulls) — the REF's fixed-cadence
+    // observation stream (O23) generalized to arbitrary keys with missing
+    // intervals. One shuffle for the per-hour aggregate, one for the
+    // bounds, one window sort; the grid explode is narrow. The first grid
+    // hour of each key is observed by construction, so the fill never
+    // reads before the frame.
+    Q("ts_gapfill",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("hour", date_trunc("hour", col("ts")))
+        val obs = ev.groupBy("user_id", "hour")
+          .agg(dsum(col("value")).as("v"), count(lit(1)).as("n_obs"))
+        val grid = ev.groupBy("user_id")
+          .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+        val w = Window.partitionBy("user_id").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("user_id", "hour"), "left")
+          .select(col("user_id"), unix_micros(col("hour")).as("hour_us"),
+            col("n_obs").isNotNull.as("observed"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+          .orderBy("user_id", "hour_us")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, date_trunc('hour', ts) AS hour, value FROM events),
+              |obs AS (
+              |  SELECT user_id, hour, ${dsumSql("value")} AS v, count(*) AS n_obs
+              |  FROM ev GROUP BY user_id, hour),
+              |bounds AS (
+              |  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM ev GROUP BY user_id),
+              |grid AS (
+              |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              |  FROM bounds)
+              |SELECT g.user_id, epoch_us(g.hour) AS hour_us,
+              |  o.n_obs IS NOT NULL AS observed,
+              |  coalesce(o.n_obs, 0) AS n_obs,
+              |  last_value(o.v IGNORE NULLS) OVER (
+              |    PARTITION BY g.user_id ORDER BY g.hour
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+              |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour = o.hour
+              |ORDER BY g.user_id, hour_us""".stripMargin)),
   )
 }
