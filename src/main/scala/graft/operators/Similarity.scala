@@ -38,6 +38,28 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Exact cosine top-k via the bounded [[graft.functions.TopKAggregator]]
+    * buffer instead of a ranking window: the aggregation buffer holds at
+    * most k pairs, so map-side partial aggregation ships k rows per
+    * (partition × query) into the shuffle — where [[knn]]'s
+    * `row_number` window shuffles EVERY candidate pair to sort it. Same
+    * output contract as [[knn]] (proven by sharing its DuckDB oracle). */
+  def knnTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    val q = queries.toDF("q_id", "q_emb")
+    val c = corpus.toDF("neighbor_id", "c_emb")
+    val topk = F.udaf(new graft.functions.TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    c.join(broadcast(q), col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cos"))
+      .groupBy("q_id")
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col._2").as("neighbor_id"), col("col._1").as("cos"))
+  }
+
   /** IVF-style approximate top-k: a k-means coarse quantizer (MLlib,
     * fixed seed) buckets the corpus into `nlist` cells; each query probes
     * its `nprobe` nearest centroids and ranks exact cosine only over those

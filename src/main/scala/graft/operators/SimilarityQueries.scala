@@ -22,6 +22,21 @@ object SimilarityQueries {
        |     ELSE ${s2(a, b)} / sqrt(${s2(a, a)} * ${s2(b, b)}) END""".stripMargin
   }
 
+  private lazy val knnOracle: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+       |r AS (SELECT q_id, neighbor_id,
+       |        ${cosineSql("q_emb", "c_emb")} AS cos
+       |      FROM c JOIN q ON q_id <> neighbor_id),
+       |k AS (SELECT q_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY q_id
+       |                           ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM r)
+       |SELECT q_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  round(cos * 1e6) / 1e6 AS cosine
+       |FROM k WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Exact brute-force top-k: the correctness baseline every ANN variant
     // is measured against (recall in SimilaritySpec). Oracle-checkable
@@ -34,19 +49,20 @@ object SimilarityQueries {
           .select(col("q_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cosine"))
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-              |           FROM embeddings WHERE vec_id % 50 = 0),
-              |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
-              |r AS (SELECT q_id, neighbor_id,
-              |        ${cosineSql("q_emb", "c_emb")} AS cos
-              |      FROM c JOIN q ON q_id <> neighbor_id),
-              |k AS (SELECT q_id, neighbor_id, cos,
-              |        row_number() OVER (PARTITION BY q_id
-              |                           ORDER BY cos DESC, neighbor_id) AS rank
-              |      FROM r)
-              |SELECT q_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
-              |  round(cos * 1e6) / 1e6 AS cosine
-              |FROM k WHERE rank <= $K ORDER BY q_id, rank""".stripMargin)),
+      Some(knnOracle)),
+
+    // Same contract through the bounded TopKAggregator buffer (map-side
+    // partial top-k; shuffles k rows per partition×query instead of every
+    // pair — the 100 TB ranking path). Shares sim_knn's oracle verbatim:
+    // the two formulations must be indistinguishable in output.
+    Q("sim_knn_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        Similarity.knnTopK(e, e.filter(col("vec_id") % 50 === 0), K)
+          .select(col("q_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      Some(knnOracle)),
 
     // IVF variant: k-means coarse quantizer, 16 cells, probe 2.
     Q("sim_knn_ivf",

@@ -107,4 +107,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // the planted self-recall test above.
     assert(recall >= 0.02, s"LSH recall $recall at chance level")
   }
+
+  test("TopKAggregator: bounded buffer, ordering, tie-break, and merge") {
+    val agg = new graft.functions.TopKAggregator(3)
+    // reduce keeps at most k, ordered (score DESC, id ASC)
+    var buf = agg.zero
+    Seq((0.5, 7L), (0.9, 2L), (0.5, 3L), (0.1, 9L), (0.9, 1L)).foreach { x =>
+      buf = agg.reduce(buf, x)
+    }
+    assert(buf.toSeq === Seq((0.9, 1L), (0.9, 2L), (0.5, 3L)))
+    // merge of two partial buffers = top-k of the union
+    val other = agg.reduce(agg.reduce(agg.zero, (0.7, 4L)), (0.9, 0L))
+    assert(agg.merge(buf, other).toSeq === Seq((0.9, 0L), (0.9, 1L), (0.9, 2L)))
+    // knnTopK must agree with the window-formulated knn exactly
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val a = Similarity.knn(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Similarity.knnTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
 }
