@@ -23,6 +23,8 @@ object ExplainAudit {
     "dedup_minhash",    // LSH banding: no all-pairs product anywhere
     "profile_table",    // melt + two-level HashAggregate (no SortAggregate)
     "docs_pipeline",    // composed prep: one window shuffle only
+    "sim_knn_topk",     // ObjectHashAggregate w/ bounded top-k buffer, partial map-side
+    "ts_gapfill",       // grid generate + left join + one window sort
     "wx_wow_record")    // flagship: windows + scalar derivations fused
 
   def main(args: Array[String]): Unit = {
