@@ -43,9 +43,12 @@ object Bench {
     }.toMap
     val (p1, p2) = (pass(), pass())
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma decimal separator (de_DE etc.) would make the line invalid JSON.
+    def num(fmt: String, v: Double) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = num("%.3f", results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -54,8 +54,6 @@ object MinHashAggregator {
     }
     h
   }
-
-  def fnv1a64(s: String, salt: Int): Long = fnv1a64(s.getBytes("UTF-8"), salt)
 }
 
 private object ExpressionEncoders {

@@ -29,12 +29,11 @@ class TopKAggregator(k: Int)
   override def reduce(buf: Array[(Double, Long)], x: (Double, Long)): Array[(Double, Long)] = {
     if (buf.length >= k && !better(x, buf(buf.length - 1))) buf
     else {
-      var i = buf.length
       val out = new Array[(Double, Long)](math.min(buf.length + 1, k))
       // find insertion point from the tail (new element usually loses)
       var ins = buf.length
       while (ins > 0 && better(x, buf(ins - 1))) ins -= 1
-      i = 0
+      var i = 0
       while (i < out.length) {
         out(i) = if (i < ins) buf(i) else if (i == ins) x else buf(i - 1)
         i += 1

@@ -183,7 +183,7 @@ object AggQueries {
       None),
 
     // Exact percentiles (sort-based): deterministic, unlike the sketch in
-    // agg_stats — this is the oracled variant. At 100 TB prefer
+    // agg_approx_quantile — this is the oracled variant. At 100 TB prefer
     // percentile_approx; exact percentile is a per-group sort.
     Q("agg_percentile",
       (s, dir) => {

@@ -123,11 +123,12 @@ object MultimodalQueries {
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
-              |  (ord(substr(text, 1, 1)) % 64) + 1 AS width,
-              |  (ord(substr(text, 2, 1)) % 64) + 1 AS height,
+              |  (CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 1 END % 64) + 1 AS width,
+              |  (CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 1 END % 64) + 1 AS height,
               |  CAST(length(text) // 256 + 1 AS INTEGER) AS n_frames,
               |  ${(0 until 8).map(i =>
-                   s"ord(substr(text, ${i + 1}, 1)) / 128.0 AS f$i").mkString(",\n  ")}
+                   s"CASE WHEN length(text) > $i THEN ord(substr(text, ${i + 1}, 1)) ELSE 0 END / 128.0 AS f$i")
+                   .mkString(",\n  ")}
               |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }
