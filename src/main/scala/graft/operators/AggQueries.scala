@@ -201,6 +201,32 @@ object AggQueries {
              |  round(quantile_cont(o_totalprice, 0.99), 6) AS p99
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Grouped top-N through the bounded TopKAggregator buffer: the
+    // "top 3 orders per status" pattern WITHOUT a ranking window — the
+    // buffer never exceeds N pairs, so partial aggregation ships N rows
+    // per partition×group where row_number shuffles the whole table to
+    // sort it. Oracled against the window spelling: must be identical.
+    Q("agg_top_per_group",
+      (s, dir) => {
+        import org.apache.spark.sql.Encoders
+        val topk = udaf(new graft.functions.TopKAggregator(3),
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("o_orderstatus"), posexplode(col("top")))
+          .select(col("o_orderstatus"), (col("pos") + 1).as("rank"),
+            col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+          .orderBy("o_orderstatus", "rank")
+      },
+      Some("""SELECT o_orderstatus, CAST(rank AS INTEGER) AS rank,
+             |  o_orderkey, o_totalprice
+             |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |        row_number() OVER (PARTITION BY o_orderstatus
+             |                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |      FROM orders)
+             |WHERE rank <= 3 ORDER BY o_orderstatus, rank""".stripMargin)),
+
     Q("agg_minmax",
       (s, dir) => Tables.orders(s, dir)
         .groupBy("o_orderstatus")
