@@ -52,6 +52,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"disjoint docs should not band-collide: $pairs")
   }
 
+  test("shingleHashes: per-doc distinct counts equal the string-shingle counts") {
+    // The hashed path must be a drop-in for the string path: same number
+    // of distinct shingles per document (collision-free on real corpora).
+    val byStr = Dedup.shingles(docs, "doc_id", "text").groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byHash = Dedup.shingleHashes(docs, "doc_id", "text").groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStr === byHash)
+  }
+
   test("exactDedup keeps exactly the earliest row per key") {
     val events = graft.sources.Tables.events(spark, SF)
     val deduped = Dedup.exactDedup(events, Seq("user_id", "event_type"),
