@@ -165,6 +165,32 @@ object WindowQueries {
              |WHERE event_type = 'purchase'
              |ORDER BY event_id""".stripMargin)),
 
+    // Forward as-of: the NEXT matching event at-or-after each probe row —
+    // the mirrored frame (current row → unbounded following, first
+    // non-null). Completes the merge-asof direction pair (pandas
+    // direction='forward'); nearest = coalesce of both by smaller gap.
+    Q("join_asof_fwd",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .withColumn("next_click_us",
+            first(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+                  unix_micros(col("ts")).as("ts_us"), col("next_click_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, next_click_us FROM (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    first_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_us
+             |  FROM events)
+             |WHERE event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin)),
+
     // The same as-of semantics through the custom merge operator
     // (graft.plans.AsofJoinPlan): one shuffle+sort per side, streamed
     // merge, no windowed row widening. Oracle: DuckDB's native ASOF JOIN
