@@ -44,8 +44,12 @@ object Bench {
     val (p1, p2) = (pass(), pass())
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
-    // comma decimal separator (de_DE etc.) would make the line invalid JSON.
-    def num(fmt: String, v: Double) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    // comma decimal separator (de_DE etc.) would make the line invalid
+    // JSON. Trailing zeros are stripped ("0.20" -> "0.2") purely for line
+    // length — the driver's tail window is the budget.
+    def num(fmt: String, v: Double) =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+        .replaceAll("0+$", "").replaceAll("\\.$", "")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) }
       .mkString("{", ",", "}")
     val total = num("%.3f", results.map(_._2).sum)
