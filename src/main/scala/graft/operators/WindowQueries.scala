@@ -191,6 +191,46 @@ object WindowQueries {
              |WHERE event_type = 'purchase'
              |ORDER BY event_id""".stripMargin)),
 
+    // Nearest as-of: closer of the previous and next match, ties to the
+    // previous (pandas direction='nearest'). Both candidates come from
+    // the same sorted window pass — no extra shuffle over join_asof.
+    Q("join_asof_near",
+      (s, dir) => {
+        val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = base.rowsBetween(1, Window.unboundedFollowing)
+        val clickUs = when(col("event_type") === "click", unix_micros(col("ts")))
+        Tables.events(s, dir)
+          .withColumn("prev_us", last(clickUs, ignoreNulls = true).over(wPrev))
+          .withColumn("next_us", first(clickUs, ignoreNulls = true).over(wNext))
+          .filter(col("event_type") === "purchase")
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("near_click_us",
+            when(col("prev_us").isNull, col("next_us"))
+              .when(col("next_us").isNull, col("prev_us"))
+              .when(col("ts_us") - col("prev_us") <= col("next_us") - col("ts_us"),
+                col("prev_us"))
+              .otherwise(col("next_us")))
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("near_click_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts_us,
+             |  CASE WHEN prev_us IS NULL THEN next_us
+             |       WHEN next_us IS NULL THEN prev_us
+             |       WHEN ts_us - prev_us <= next_us - ts_us THEN prev_us
+             |       ELSE next_us END AS near_click_us
+             |FROM (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+             |    first_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+             |  FROM events)
+             |WHERE event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin)),
+
     // The same as-of semantics through the custom merge operator
     // (graft.plans.AsofJoinPlan): one shuffle+sort per side, streamed
     // merge, no windowed row widening. Oracle: DuckDB's native ASOF JOIN
