@@ -35,14 +35,20 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def pass(): Map[String, Double] = names.map { name =>
+    def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val (p1, p2) = (pass(), pass())
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val p1 = names.map(n => n -> run(n)).toMap
+    // Second pass only where noise can matter: a GC/JIT stall on a
+    // sub-0.3s query moves the total by milliseconds, but the same stall
+    // on a multi-second query dominated BENCH_r01/r02 (observed 1.3s vs
+    // 11.6s for one groupBy). Selective re-run keeps total bench wall
+    // close to a single pass.
+    val p2 = names.filter(p1(_) > 0.3).map(n => n -> run(n)).toMap
+    val results = names.map(n => n -> math.min(p1(n), p2.getOrElse(n, p1(n))))
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator (de_DE etc.) would make the line invalid
     // JSON. Trailing zeros are stripped ("0.20" -> "0.2") purely for line
