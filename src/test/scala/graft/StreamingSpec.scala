@@ -126,6 +126,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming running top-k folds batches into O(k) per-key state") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Long)]
+    val q = graft.streaming.StreamingTopK.runningTopK(spark, input.toDS(), 2)
+      .toDF("key", "ids", "scores")
+      .writeStream.format("memory").queryName("topk_out").outputMode("update").start()
+    try {
+      input.addData((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.1, 13L), (2L, 0.3, 20L))
+      q.processAllAvailable()
+      input.addData((1L, 0.7, 12L), (2L, 0.8, 21L))
+      q.processAllAvailable()
+      val updates = spark.table("topk_out").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      // batch 1: key 1 kept (11, 10) of 3 seen; batch 2 displaced 10 by 12
+      assert(updates.contains((1L, Seq(11L, 10L))), updates.toSeq)
+      assert(updates.contains((1L, Seq(11L, 12L))), updates.toSeq)
+      assert(updates.contains((2L, Seq(21L, 20L))), updates.toSeq)
+    } finally q.stop()
+  }
+
   test("watermark drops late data beyond the lateness bound") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
