@@ -11,11 +11,14 @@ import org.apache.spark.sql.SparkSession
   *  - TWO measured passes, min per query: a single pass is dominated by
   *    JIT/GC noise on sub-second queries (observed 1.3s vs 11.6s for the
   *    same groupBy across driver runs);
-  *  - timings printed with 2 decimals (total with 3): the driver captures
-  *    only the LAST 2000 chars of stdout, and full-precision doubles
-  *    pushed the JSON line past that window (BENCH_r01/r02 "parsed":
-  *    null). At 2 decimals the line is ~1690 chars for 82 queries,
-  *    leaving room for sbt's trailing [success] line and future growth.
+  *  - timings printed with 2 decimals (total with 3), and the per-query
+  *    map capped to the 45 slowest queries: the driver captures only the
+  *    LAST 2000 chars of stdout, and full maps outgrew that window twice
+  *    (BENCH_r01/r02 "parsed": null; ~2090 chars for 89 queries). The
+  *    capped line is ~1000 chars — headroom for sbt's trailing [success]
+  *    line and future query growth;
+  *  - queries that throw are listed in "failed" (and excluded from the
+  *    map/total), never recorded as normal-looking timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,11 +38,13 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // A query that throws is recorded as -1, never as a normal-looking
+    // elapsed time (a failure must be distinguishable in the JSON).
     def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val p1 = names.map(n => n -> run(n)).toMap
     // Second pass only where noise can matter: a GC/JIT stall on a
@@ -49,17 +54,27 @@ object Bench {
     // close to a single pass.
     val p2 = names.filter(p1(_) > 0.3).map(n => n -> run(n)).toMap
     val results = names.map(n => n -> math.min(p1(n), p2.getOrElse(n, p1(n))))
+    val failed = results.collect { case (n, v) if v < 0 => n }
+    val ok = results.filter(_._2 >= 0)
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator (de_DE etc.) would make the line invalid
     // JSON. Trailing zeros are stripped ("0.20" -> "0.2") purely for line
-    // length — the driver's tail window is the budget.
+    // length — the driver captures only the LAST 2000 chars of stdout, and
+    // the full per-query map outgrew that window as queries were added
+    // (r02 truncation, and ~2090 chars for 89 queries at sf0.01). The map
+    // therefore carries only the 45 SLOWEST queries (the ones with signal;
+    // every elided query ran faster than the smallest emitted value, and
+    // "elided" says how many there were); total/failed always cover all.
     def num(fmt: String, v: Double) =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
         .replaceAll("0+$", "").replaceAll("\\.$", "")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) }
+    val slowest = ok.sortBy(-_._2).take(45).sortBy(_._1)
+    val qs = slowest
+      .map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) }
       .mkString("{", ",", "}")
-    val total = num("%.3f", results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = num("%.3f", ok.map(_._2).sum)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.expressions.{ShingleHash, VecCosine, VecDot}
+import graft.expressions.{CharGramHash, ShingleHash, VecCosine, VecDot}
 import graft.plans.AsofJoinStrategy
 
 /** Production registration path: build the session with
@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Literal(k: Int, IntegerType) => ShingleHash(es(0), k)
       case other => throw new IllegalArgumentException(
         s"shingle_hash(words, k): k must be an integer literal, got $other")
+    }))
+    ext.injectFunction(fn("char_gram_hash", es => es(1) match {
+      case Literal(n: Int, IntegerType) => CharGramHash(es(0), n)
+      case other => throw new IllegalArgumentException(
+        s"char_gram_hash(text, n): n must be an integer literal, got $other")
     }))
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }

@@ -46,6 +46,48 @@ case class ShingleHash(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hashed byte n-grams of a string, as one native expression:
+  * `string` → `array<long>` of FNV-1a hashes of each sliding n-byte
+  * window of the UTF-8 encoding, length `max(numBytes - n + 1, 1)`
+  * (a shorter-than-n string yields one hash of the whole string,
+  * matching `substring(text, 1, n)` semantics on short inputs).
+  *
+  * This is the char-gram twin of [[ShingleHash]], replacing the HOF
+  * spelling `transform(sequence(1, length(text)-n+1), i ->
+  * xxhash64(substring(text, i, n)))` which evaluates an interpreted
+  * lambda and allocates a substring per character position (SURVEY
+  * §7.3b: HOF lambdas measured 4-8x slower than codegen'd
+  * expressions). Here each window is a direct FNV fold over the
+  * backing bytes — zero per-gram allocation. Byte n-grams ≡ char
+  * n-grams on ASCII corpora; on multi-byte text the window is
+  * byte-aligned, which is equally valid for fingerprinting (the hash
+  * family is internal — only distinctness matters, as with
+  * ShingleHash).
+  */
+case class CharGramHash(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram size n must be >= 1")
+
+  override def prettyName: String = "char_gram_hash"
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashUtil.computeGrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShingleHashUtil.computeGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static helper called from generated code (Scala emits static
   * forwarders for object methods). */
 object ShingleHashUtil {
@@ -71,6 +113,24 @@ object ShingleHashUtil {
         }
         j += 1
       }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sliding n-byte-window FNV-1a hashes of a UTF8String; at least one
+    * window (the whole string) even when shorter than n. */
+  def computeGrams(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val nb = s.numBytes()
+    val m = math.max(nb - n + 1, 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = FnvOffset
+      val end = math.min(i + n, nb)
+      var b = i
+      while (b < end) { h ^= (s.getByte(b) & 0xffL); h *= FnvPrime; b += 1 }
       out(i) = h
       i += 1
     }

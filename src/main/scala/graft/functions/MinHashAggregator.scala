@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** MinHash signature as a typed `Aggregator[IN, BUF, OUT]` (SURVEY.md §2B:
@@ -10,20 +10,24 @@ import org.apache.spark.sql.expressions.Aggregator
   * 32-column min() spelling which carries 32 agg buffers through codegen;
   * both are correct, DedupSpec pins identical candidate behavior).
   *
-  * Hashes are FNV-1a 64-bit salted per permutation — self-contained and
+  * Input is the 8-byte hashed shingle from
+  * [[graft.expressions.ShingleHash]] — NOT the shingle string. Earlier
+  * rounds took `String` input, which forced the caller to materialize a
+  * per-shingle string frame alongside the hashed frame the verification
+  * tail uses (double tokenization, and per-shingle UTF-8 encodes inside
+  * `reduce`). Per-permutation values are a salted splitmix64 finalizer
+  * over the shingle hash — a few arithmetic ops per permutation,
   * deterministic across JVMs/executors (no dependence on JVM hashCode).
   */
 class MinHashAggregator(numPerm: Int)
-    extends Aggregator[String, Array[Long], Array[Long]] {
+    extends Aggregator[Long, Array[Long], Array[Long]] {
 
   override def zero: Array[Long] = Array.fill(numPerm)(Long.MaxValue)
 
-  override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
-    // UTF-8 encode once per shingle, not once per permutation.
-    val bytes = shingle.getBytes("UTF-8")
+  override def reduce(buf: Array[Long], shingleHash: Long): Array[Long] = {
     var p = 0
     while (p < numPerm) {
-      val h = MinHashAggregator.fnv1a64(bytes, p)
+      val h = MinHashAggregator.mix64(shingleHash, p)
       if (h < buf(p)) buf(p) = h
       p += 1
     }
@@ -43,16 +47,14 @@ class MinHashAggregator(numPerm: Int)
 }
 
 object MinHashAggregator {
-  /** FNV-1a 64-bit over UTF-8 bytes, salted with the permutation index. */
-  def fnv1a64(bytes: Array[Byte], salt: Int): Long = {
-    var h = 0xcbf29ce484222325L ^ (salt * 0x9e3779b97f4a7c15L)
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
+  /** splitmix64 finalizer over the shingle hash, salted with the
+    * permutation index (golden-ratio spread) — full-avalanche 64-bit
+    * mixing, so per-permutation minima are independent. */
+  def mix64(x: Long, salt: Int): Long = {
+    var h = x ^ (salt * 0x9e3779b97f4a7c15L)
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
   }
 }
 

@@ -29,30 +29,39 @@ class TopKAggregator(k: Int)
   override def reduce(buf: Array[(Double, Long)], x: (Double, Long)): Array[(Double, Long)] = {
     if (buf.length >= k && !better(x, buf(buf.length - 1))) buf
     else {
-      val out = new Array[(Double, Long)](math.min(buf.length + 1, k))
       // find insertion point from the tail (new element usually loses)
       var ins = buf.length
       while (ins > 0 && better(x, buf(ins - 1))) ins -= 1
-      var i = 0
-      while (i < out.length) {
-        out(i) = if (i < ins) buf(i) else if (i == ins) x else buf(i - 1)
-        i += 1
+      // set semantics: an already-present (score, id) pair (e.g. a replayed
+      // row folded back into StreamingTopK state on at-least-once recovery)
+      // must not displace a legitimate entry with its own duplicate
+      if (ins > 0 && buf(ins - 1) == x) buf
+      else {
+        val out = new Array[(Double, Long)](math.min(buf.length + 1, k))
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (i < ins) buf(i) else if (i == ins) x else buf(i - 1)
+          i += 1
+        }
+        out
       }
-      out
     }
   }
 
   override def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] = {
-    // merge two sorted arrays, keep first k
+    // merge two sorted arrays, keep first k distinct pairs (an equal
+    // (score, id) pair present on both sides is taken once — set semantics,
+    // see reduce)
     val out = new Array[(Double, Long)](math.min(a.length + b.length, k))
     var i = 0; var j = 0; var o = 0
-    while (o < out.length) {
+    while (o < out.length && (i < a.length || j < b.length)) {
       out(o) =
-        if (i < a.length && (j >= b.length || better(a(i), b(j)))) { i += 1; a(i - 1) }
+        if (i < a.length && j < b.length && a(i) == b(j)) { i += 1; j += 1; a(i - 1) }
+        else if (i < a.length && (j >= b.length || better(a(i), b(j)))) { i += 1; a(i - 1) }
         else { j += 1; b(j - 1) }
       o += 1
     }
-    out
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
   }
 
   override def finish(buf: Array[(Double, Long)]): Array[(Double, Long)] = buf

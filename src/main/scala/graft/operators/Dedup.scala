@@ -22,9 +22,9 @@ object Dedup {
   }
 
   /** Distinct k-word shingles per row: (idCol, shingle). String form —
-    * kept for operators whose aggregation state is defined over shingle
-    * text (the MinHash Aggregator UDAF); the join/bucket paths use
-    * [[shingleHashes]] instead. */
+    * the readable reference implementation; every production path uses
+    * [[shingleHashes]] instead (DedupSpec pins the hashed path as a
+    * drop-in: identical per-doc distinct counts). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     df.withColumn("__words", filter(split(col(textCol), " "), w => w =!= ""))
       .filter(size(col("__words")) >= k)
@@ -61,10 +61,32 @@ object Dedup {
     *
     * Sizes join in afterwards against the (tiny) per-doc count table.
     * Carrying the size along each exploded row instead measures ~2x
-    * slower: it widens the join output and the aggregation keys. */
+    * slower: it widens the join output and the aggregation keys.
+    *
+    * Stop-shingle guard: a shingle occurring in more than
+    * `maxDocFrac` of the corpus (boilerplate headers, licence lines)
+    * would contribute O(df²) rows to the self-join — the one place a
+    * pathological corpus could still go quadratic. Such shingles are
+    * dropped BEFORE the join via a broadcast anti-join against the
+    * (by construction tiny: ≤ shingles/doc ÷ maxDocFrac entries) hot
+    * set, and per-doc sizes are counted over the same capped space, so
+    * jaccard stays a true Jaccard over non-stop shingles — the standard
+    * IR semantics (ubiquitous shingles carry no near-dup signal). On
+    * corpora with no hot shingle (driver corpus max df is 1.4% of docs)
+    * the guard is a no-op and results are bit-identical to the uncapped
+    * form (oracle-checked); DedupStressSpec pins the near-linear
+    * behavior under a planted ubiquitous shingle. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, k)
+                        k: Int = 3, threshold: Double = 0.5,
+                        maxDocFrac: Double = 0.1): DataFrame = {
+    val all = shingleHashes(df, idCol, textCol, k)
+    val nDocs = all.agg(countDistinct(col(idCol)).as("n_docs"))
+    val hot = all.groupBy("s").agg(countDistinct(col(idCol)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * maxDocFrac)
+      .select("s")
+    val sh = all.join(broadcast(hot), Seq("s"), "left_anti")
+      .select(col(idCol), col("s"))
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     sh.toDF("d1", "s1")
       .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
@@ -94,17 +116,20 @@ object Dedup {
 
   /** Same pipeline, signatures via the typed
     * [[graft.functions.MinHashAggregator]] UDAF (one state buffer per
-    * group instead of numPerm aggregate columns). */
+    * group instead of numPerm aggregate columns). Signature input and the
+    * verification tail share ONE hashed-shingle frame — the corpus is
+    * tokenized and shingled exactly once per run, same as
+    * [[minhashPairs]]. */
   def minhashPairsAgg(df: DataFrame, idCol: String, textCol: String,
                       numPerm: Int = 32, bands: Int = 8, k: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val sh = shingles(df, idCol, textCol, k)
-    val mh = udaf(new graft.functions.MinHashAggregator(numPerm), Encoders.STRING)
-    val sig = sh.groupBy(idCol).agg(mh(col("shingle")).as("sig"))
+    val sh = shingleHashes(df, idCol, textCol, k)
+    val mh = udaf(new graft.functions.MinHashAggregator(numPerm), Encoders.scalaLong)
+    val sig = sh.groupBy(idCol).agg(mh(col("s")).as("sig"))
       .select(col(idCol) +:
         (0 until numPerm).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
-    minhashTail(shingleHashes(df, idCol, textCol, k), sig, idCol, numPerm, bands, threshold)
+    minhashTail(sh, sig, idCol, numPerm, bands, threshold)
   }
 
   /** Banding + candidate join + estimate + exact-Jaccard verification over

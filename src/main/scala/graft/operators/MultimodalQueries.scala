@@ -13,6 +13,10 @@ import graft.sources.Tables
   * output encoding — is real and tested. A production deployment swaps
   * `FakeDecoder.decode` for a codec call; the plan shape (scan → narrow
   * mapPartitions → columnar output) is unchanged and shuffle-free.
+  *
+  * Oracle precondition: the framesample/decode oracles equate Spark
+  * byte-level math with DuckDB character-level math, valid only on pure
+  * ASCII — pinned by TextAndAggSpec ("documents corpus is pure ASCII").
   */
 object MultimodalQueries {
 

@@ -212,10 +212,20 @@ object TextQueries {
     // TextQueriesSpec. The bottom-k sketch is emitted as a joined string,
     // not array<long>: the driver's pandas row-sort cannot hash array
     // cells (CORRECTNESS_r02 "unhashable type: numpy.ndarray").
+    // Gram hashing is the native codegen'd CharGramHash (one FNV fold per
+    // byte window, zero per-gram allocation) — replaced the interpreted
+    // `transform(sequence(...), i -> xxhash64(substring(text,i,8)))`
+    // lambda (SURVEY §7.3b anti-pattern). Measured on the hash stage
+    // alone (sum(size(grams)), 4x-length docs so gram work dominates):
+    // 2.18s -> 0.16s, 13.7x. End-to-end at sf0.1 the query is
+    // sketch-overhead-bound (array_distinct/sort), 0.18s -> 0.15s.
     Q("text_fingerprint",
       (s, dir) => Tables.documents(s, dir)
-        .withColumn("grams",
-          expr("transform(sequence(1, greatest(length(text) - 7, 1)), i -> xxhash64(substring(text, i, 8)))"))
+        .withColumn("grams", {
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          ColumnBridge.column(graft.expressions.CharGramHash(
+            ColumnBridge.expression(col("text")), 8))
+        })
         .select(col("doc_id"),
           concat_ws(",",
             slice(array_sort(array_distinct(col("grams"))), 1, 4)).as("fingerprint"),

@@ -20,9 +20,10 @@ object AggregatorProps extends Properties("aggregators") {
     Prop.forAll(Gen.listOf(pairGen), Gen.chooseNum(1, 7), Gen.chooseNum(0, 100)) {
       (xs: List[(Double, Long)], k: Int, splitSeed: Int) =>
         val agg = new graft.functions.TopKAggregator(k)
-        // distinct inputs: duplicate (score, id) pairs cannot reach the
-        // aggregator from the knn join (neighbor ids are unique per query)
-        val input = xs.distinct
+        // duplicates allowed: the aggregator is set-semantic over
+        // (score, id) pairs, so replayed rows (streaming at-least-once
+        // recovery) cannot displace legitimate entries
+        val input = xs
         val split = if (input.isEmpty) 0 else splitSeed % (input.length + 1)
         val (a, b) = input.splitAt(split)
         val bufA = a.foldLeft(agg.zero)(agg.reduce)
@@ -45,6 +46,25 @@ object AggregatorProps extends Properties("aggregators") {
       val want =
         if (words.length < k) Seq.empty
         else words.sliding(k).filter(_.length == k).map(ws => fnvRef(ws.mkString(" "))).toSeq
+      got == want
+    }
+  }
+
+  property("CharGramHash == FNV-1a over sliding byte windows") = {
+    def fnvRef(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    val textGen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    Prop.forAll(textGen, Gen.chooseNum(1, 10)) { (text: String, n: Int) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val got = graft.expressions.ShingleHashUtil
+        .computeGrams(UTF8String.fromString(text), n).toLongArray().toSeq
+      val bytes = text.getBytes("UTF-8")
+      val want =
+        if (bytes.length <= n) Seq(fnvRef(bytes.take(n)))
+        else bytes.sliding(n).map(fnvRef).toSeq
       got == want
     }
   }

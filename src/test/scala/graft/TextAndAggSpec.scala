@@ -38,6 +38,21 @@ class TextAndAggSpec extends AnyFunSuite with SparkTestBase {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("documents corpus is pure ASCII (mm_* oracles equate byte and char math)") {
+    // mm_framesample / mm_decode oracles compare Spark byte-level math
+    // (octet_length, signed-byte arithmetic) against DuckDB character-level
+    // math (length, ord) — equivalent only while every text byte is ASCII.
+    // Pin that precondition so a future corpus change fails loudly here
+    // instead of silently hash-mismatching in CORRECTNESS.
+    Seq(SF, "/root/testdata/sf0.01").foreach { dir =>
+      val nonAscii = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(octet_length(col("text")) =!= length(col("text"))
+          || col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(nonAscii === 0L, s"$dir documents contain non-ASCII text")
+    }
+  }
+
   test("approx_count_distinct is within its accuracy bound of exact") {
     val li = spark.read.parquet(s"$SF/lineitem.parquet")
     val exact = li.groupBy("l_returnflag")
