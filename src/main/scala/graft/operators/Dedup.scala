@@ -182,6 +182,47 @@ object Dedup {
     * Σ_words ±count): one explode → one hash-aggregate with 64 long
     * buffers, instead of a (doc, word) count shuffle first — one shuffle
     * total before the band join. */
+  /** Portable 60-bit SimHash signatures: token hash = first 15 hex chars
+    * of md5, parsed as an integer — reproducible in any engine that has
+    * md5 (DuckDB: `CAST('0x' || substr(md5(w),1,15) AS BIGINT)`), which
+    * makes the whole simhash family ORACLE-CHECKABLE cross-engine.
+    * [[simhashPairs]] stays the production path (xxhash64 is one codegen'd
+    * call vs md5+hex-parse per token); this twin anchors its band/hamming
+    * machinery to an independent engine. */
+  def simhashPortableSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def bitSum(i: Int) =
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L)))
+    val wc = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("h", expr("cast(conv(substring(md5(word), 1, 15), 16, 10) as bigint)"))
+    val bitSums = wc.groupBy(idCol).agg(
+      bitSum(0).as("s0"), (1 until 60).map(i => bitSum(i).as(s"s$i")): _*)
+    val sig = (0 until 60)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    bitSums.select(col(idCol), sig.as("sig"))
+  }
+
+  /** The simhash verify stage over portable signatures: 4×15-bit band
+    * candidates + hamming via bit_count(xor) — every intermediate is
+    * integer-exact, so the result hash-matches the DuckDB spelling. */
+  def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = simhashPortableSigs(df, idCol, textCol)
+    val bandCols = (0 until 4).map(b =>
+      shiftrightunsigned(col("sig"), 15 * b).bitwiseAND(lit(0x7FFFL)))
+    val banded = sigs
+      .select(col(idCol), col("sig"), posexplode(array(bandCols: _*)))
+      .toDF("id", "sig", "band_idx", "band_val")
+    banded.toDF("d1", "h1", "bi1", "bv1")
+      .join(banded.toDF("d2", "h2", "bi2", "bv2"),
+        col("bi1") === col("bi2") && col("bv1") === col("bv2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8): DataFrame = {
     def bitSum(i: Int) =

@@ -28,6 +28,32 @@ object DedupQueries {
       |  FROM w WHERE len(words) >= 3),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB twin of [[Dedup.simhashPortablePairs]] — generated so the 60
+    * per-bit sums and the signature assembly stay structurally identical
+    * to the Spark side. */
+  private val simhashVerifySql: String = {
+    val sCols = (0 until 60)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val sigExpr = (0 until 60)
+      .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" | ")
+    s"""WITH wc AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |        FROM documents)),
+       |bits AS (SELECT doc_id, $sCols FROM wc GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sigExpr AS sig FROM bits),
+       |banded AS (
+       |  SELECT doc_id, sig, b.band_idx, (sig >> (15 * b.band_idx)) & 32767 AS band_val
+       |  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) b)
+       |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       |  CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+       |FROM banded x JOIN banded y
+       |  ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     // Exact dedup with a deterministic keeper (earliest row per key) — the
     // reproducible spelling of dropDuplicates(keys).
@@ -95,6 +121,15 @@ object DedupQueries {
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("d1", "d2"),
       None),
+
+    // The simhash band + hamming machinery with a REAL cross-engine
+    // oracle: token hashes are md5-prefix integers (portable), so DuckDB
+    // reproduces signatures, band candidates and hamming distances
+    // bit-for-bit — anchoring the sketch family dedup_simhash shares.
+    Q("dedup_simhash_verify",
+      (s, dir) => Dedup.simhashPortablePairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("d1", "d2"),
+      Some(simhashVerifySql)),
 
     // Embedding-cosine near-dup, label-blocked (the blocking key stands in
     // for a coarse quantizer/IVF cell at scale). Oracle-checkable: the

@@ -34,6 +34,28 @@ object WeatherQueries {
   private val AltitudeM = 5.0
   private val LatitudeDeg = 61.8989
 
+  /** Unique memory-sink names across repeated query invocations (Bench
+    * runs each query up to 3 times in one session). */
+  private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Shared by `wx_rain_daily` (batch windows) and `wx_rain_daily_stream`
+    * (stateful streaming) — ONE oracle for both spellings. */
+  private val rainDailySql: String =
+    s"""WITH c AS (
+       |  SELECT event_id, user_id, ts, strftime(ts, '%Y-%m-%d') AS day,
+       |    sum(CAST(value AS DECIMAL(25,6)))
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS counter
+       |  FROM events)
+       |SELECT event_id, user_id, day,
+       |  CAST(counter AS DOUBLE) AS total_rain_mm,
+       |  CAST(counter - first_value(counter)
+       |    OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS DOUBLE) AS daily_rain_mm,
+       |  CAST(coalesce((counter - lag(counter, 1)
+       |    OVER (PARTITION BY user_id, day ORDER BY ts, event_id)) * $ObsFreq, 0.0)
+       |    AS DOUBLE) AS rain_rate_mmh
+       |FROM c ORDER BY event_id""".stripMargin
+
   /** Synthetic sensor channels from events.value (deterministic, identical
     * arithmetic on both engines; floor() used because Spark's double->int
     * cast truncates while DuckDB's rounds). */
@@ -118,20 +140,44 @@ object WeatherQueries {
     // first observation (the reference's rollover reset).
     Q("wx_rain_daily",
       (s, dir) => rainDaily(Tables.events(s, dir)).orderBy("event_id"),
-      Some(s"""WITH c AS (
-              |  SELECT event_id, user_id, ts, strftime(ts, '%Y-%m-%d') AS day,
-              |    sum(CAST(value AS DECIMAL(25,6)))
-              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS counter
-              |  FROM events)
-              |SELECT event_id, user_id, day,
-              |  CAST(counter AS DOUBLE) AS total_rain_mm,
-              |  CAST(counter - first_value(counter)
-              |    OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS DOUBLE) AS daily_rain_mm,
-              |  CAST(coalesce((counter - lag(counter, 1)
-              |    OVER (PARTITION BY user_id, day ORDER BY ts, event_id)) * $ObsFreq, 0.0)
-              |    AS DOUBLE) AS rain_rate_mmh
-              |FROM c ORDER BY event_id""".stripMargin)),
+      Some(rainDailySql)),
+
+    // O8-O13 + O23 as a DRIVER-CHECKED fact: the streaming state machine
+    // (flatMapGroupsWithState, graft.streaming.WeatherStream) run over the
+    // same events via MemoryStream + synchronous micro-batches, sharing
+    // wx_rain_daily's oracle SQL — streaming ≡ batch ≡ DuckDB, hash-exact
+    // (the state accumulates with the batch DECIMAL(25,6) semantics, see
+    // RainState). Fed in 4 ordered chunks so cross-batch state carry is
+    // actually exercised. The driver-side collect is the MemoryStream
+    // FEED (a test-harness source surrogate — production reads a real
+    // stream source), not a query path.
+    Q("wx_rain_daily_stream",
+      (s, dir) => {
+        import s.implicits._
+        import graft.streaming.WeatherStream
+        import graft.streaming.WeatherStream.SensorReading
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val readings = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .orderBy("ts", "event_id")
+          .as[SensorReading].collect()
+        val input = MemoryStream[SensorReading]
+        val sinkName = s"wx_rain_stream_${streamRunId.incrementAndGet()}"
+        val q = WeatherStream.rainDailyStream(input.toDS()).writeStream
+          .format("memory").queryName(sinkName).outputMode("append").start()
+        try {
+          readings.grouped(math.max(readings.length / 4, 1)).foreach { chunk =>
+            input.addData(chunk.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(sinkName)
+          .select(col("event_id"), col("user_id"), col("day"),
+            col("total_rain_mm"), col("daily_rain_mm"), col("rain_rate_mmh"))
+          .orderBy("event_id")
+      },
+      Some(rainDailySql)),
 
     // O4: the barometer HTML-scrape parse. The reference slices 5-6 chars
     // before the literal 'hPa' and re-parses on NaN (:177-183); the regex

@@ -24,9 +24,16 @@ object WeatherStream {
   final case class SensorReading(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
 
   /** The rain-history state row (FIXTURES.md A3): day + the two counter
-    * snapshots; `counter` is the reconstructed monotone gauge register. */
-  final case class RainState(day: String, totalRainStart: Double,
-                             totalRainLatest: Double, counter: Double)
+    * snapshots; `counter` is the reconstructed monotone gauge register.
+    *
+    * Counters are BigDecimal, accumulated with exactly the batch path's
+    * DECIMAL(25,6) cast semantics (see [[dec6]]) — so the streaming output
+    * is BIT-IDENTICAL to `WeatherQueries.rainDaily`, and the registered
+    * `wx_rain_daily_stream` query shares the batch oracle SQL (a
+    * double-accumulating state would drift in the last ulp over a long
+    * stream and hash-mismatch). */
+  final case class RainState(day: String, totalRainStart: BigDecimal,
+                             totalRainLatest: BigDecimal, counter: BigDecimal)
 
   final case class RainObs(event_id: Long, user_id: Long, ts: Timestamp,
                            value: Double, day: String,
@@ -39,6 +46,18 @@ object WeatherStream {
     java.time.Instant.ofEpochMilli(ts.getTime)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
 
+  /** The reading as the batch path sees it: Spark's `cast(value AS
+    * DECIMAL(25,6))` (HALF_UP via Decimal.changePrecision) — one code path
+    * for the rounding rule on both engines' inputs. */
+  private def dec6(v: Double): BigDecimal = {
+    val d = org.apache.spark.sql.types.Decimal(v)
+    if (!d.changePrecision(25, 6))
+      throw new ArithmeticException(s"value $v overflows DECIMAL(25,6)")
+    d.toBigDecimal
+  }
+
+  private val Zero = BigDecimal(0)
+
   /** The reference state machine O8-O13, one micro-batch group at a time.
     * Rows are sorted within the batch (the store guarantees nothing about
     * iterator order); state carries across batches exactly like the
@@ -47,26 +66,28 @@ object WeatherStream {
       userId: Long, rows: Iterator[SensorReading],
       state: GroupState[RainState]): Iterator[RainObs] = {
     val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
-    var st = state.getOption.getOrElse(RainState(null, 0.0, 0.0, 0.0))
+    var st = state.getOption.getOrElse(RainState(null, Zero, Zero, Zero))
     val out = sorted.map { r =>
-      val counter = st.counter + r.value
+      val counter = st.counter + dec6(r.value)
       val day = dayOf(r.ts)
-      var daily = 0.0
+      var daily = Zero
       var rate = 0.0
       if (day != st.day) {                       // rollover (:229-240)
-        st = RainState(day, counter, 0.0, counter)
+        st = RainState(day, counter, Zero, counter)
       } else {
         st = st.copy(counter = counter)
         if (counter != st.totalRainStart) {      // rain since day start (:244-249)
           daily = counter - st.totalRainStart
+          // double math mirrors the batch spelling (decimal diff -> double,
+          // then * ObsFreq), so the emitted rate is bit-identical
           rate =
-            if (st.totalRainLatest != 0.0) ObsFreq * (counter - st.totalRainLatest)
-            else ObsFreq * daily                 // first rain of day (:257-263)
+            if (st.totalRainLatest != Zero) (counter - st.totalRainLatest).toDouble * ObsFreq
+            else daily.toDouble * ObsFreq        // first rain of day (:257-263)
           if (counter != st.totalRainLatest)     // conditional write-back (:264-272)
             st = st.copy(totalRainLatest = counter)
         }
       }
-      RainObs(r.event_id, userId, r.ts, r.value, day, counter, daily, rate)
+      RainObs(r.event_id, userId, r.ts, r.value, day, counter.toDouble, daily.toDouble, rate)
     }
     state.update(st)
     out.iterator

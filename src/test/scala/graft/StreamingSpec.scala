@@ -84,6 +84,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("registered wx_rain_daily_stream is row-identical to batch wx_rain_daily") {
+    // exact Row equality, doubles included — the BigDecimal state carries
+    // the batch DECIMAL(25,6) semantics, so the shared oracle hash-matches
+    val streamed = SparkEntry.queries("wx_rain_daily_stream")(spark, SF).collect()
+    val batch = SparkEntry.queries("wx_rain_daily")(spark, SF).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
+
   test("WowSink posts per-partition and drops (not retries) on transport failure") {
     import graft.streaming.WowSink
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
