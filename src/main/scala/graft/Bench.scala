@@ -75,6 +75,16 @@ object Bench {
     val total = num("%.3f", ok.map(_._2).sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"sf":"$sfDir"}""")
+    // Full-precision, uncapped dump for offline analysis (scaling curves):
+    // SPARK_GRAFT_BENCH_OUT=path writes every query's timing to a file,
+    // where the stdout line above stays within the driver's tail budget.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      val full = results.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
+        .mkString("{", ",", "}")
+      val json = s"""{"total":$total,"queries":$full,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator: writes an N-times larger copy of a
+  * TESTDATA sf directory (same schemas, disjoint key spaces per copy), so
+  * the bench can measure SCALING CURVES beyond the driver-provided sf0.1
+  * (`sbt "runMain graft.ScaleData /root/testdata/sf0.1 scaledata/sf1 10"`).
+  *
+  * Design per table — chosen so per-copy structure is preserved exactly
+  * and NO artificial cross-copy similarity is introduced (which would make
+  * near-dup work superlinear in copies and the scaling measurement
+  * meaningless):
+  *  - documents: copy c>0 renames every word `w -> w~c` — a vocabulary
+  *    isomorphism. Within a copy, every shingle/minhash/simhash/Jaccard
+  *    relation (incl. the planted near-dups) is IDENTICAL to the
+  *    original; across copies, vocabularies are disjoint, so candidate
+  *    structure and output pair counts scale exactly linearly with data.
+  *  - embeddings: vec_id shifted by a multiple of 50 (query membership
+  *    `vec_id % 50 = 0` keeps the same 2% density), embedding rotated by
+  *    c positions (norm-preserving, decorrelates copies in LSH buckets).
+  *  - events: event_id/user_id shifted per copy — 10x keys over the same
+  *    time range (how a bigger fleet of sensors actually looks).
+  *  - lineitem/orders: orderkey shifted per copy; dimension keys
+  *    (custkey/partkey/suppkey) untouched — dimension tables stay
+  *    fixed-size (like real star schemas) and fan out 10x.
+  *  - region/nation/customer/supplier/part: copied verbatim (dimensions).
+  *
+  * Everything is Spark-native column expressions (no driver-side row
+  * loops) and fully deterministic — no RNG, so two runs produce
+  * byte-identical corpora.
+  */
+object ScaleData {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleData <srcDir> <outDir> <copies>")
+    val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    /** Cross-join with copy ids 0..copies-1 (copy 0 = the original). */
+    def replicate(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(spark.range(copies).toDF("__copy")))
+
+    def keySpan(df: DataFrame, key: String, roundTo: Long = 1): Long = {
+      val max = df.agg(org.apache.spark.sql.functions.max(col(key))).head.getLong(0) + 1
+      ((max + roundTo - 1) / roundTo) * roundTo
+    }
+
+    // dimensions: verbatim
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(read(t), t)
+    }
+
+    val docs = read("documents")
+    val dk = keySpan(docs, "doc_id")
+    write(
+      replicate(docs)
+        .withColumn("doc_id", col("doc_id") + col("__copy") * dk)
+        .withColumn("text",
+          when(col("__copy") === 0, col("text"))
+            .otherwise(concat_ws(" ",
+              expr("transform(filter(split(text, ' '), w -> w != ''), w -> concat(w, '~', __copy))"))))
+        .withColumn("n_chars", length(col("text")))
+        .drop("__copy"),
+      "documents")
+
+    val emb = read("embeddings")
+    val vk = keySpan(emb, "vec_id", roundTo = 50)
+    write(
+      replicate(emb)
+        .withColumn("vec_id", col("vec_id") + col("__copy") * vk)
+        .withColumn("rot", pmod(col("__copy"), size(col("embedding"))).cast("int"))
+        .withColumn("embedding",
+          expr("concat(slice(embedding, rot + 1, size(embedding) - rot), slice(embedding, 1, rot))"))
+        .drop("__copy", "rot"),
+      "embeddings")
+
+    val events = read("events") // ts stays raw INT64 nanos (see Tables.events)
+    val ek = keySpan(events, "event_id")
+    val uk = keySpan(events, "user_id")
+    write(
+      replicate(events)
+        .withColumn("event_id", col("event_id") + col("__copy") * ek)
+        .withColumn("user_id", col("user_id") + col("__copy") * uk)
+        .drop("__copy"),
+      "events")
+
+    val orders = read("orders")
+    val ok = keySpan(orders, "o_orderkey")
+    write(
+      replicate(orders)
+        .withColumn("o_orderkey", col("o_orderkey") + col("__copy") * ok)
+        .drop("__copy"),
+      "orders")
+
+    write(
+      replicate(read("lineitem"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("__copy") * ok)
+        .drop("__copy"),
+      "lineitem")
+
+    println(s"""{"scaled": "$src -> $out", "copies": $copies}""")
+    spark.stop()
+  }
+}
