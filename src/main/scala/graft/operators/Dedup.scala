@@ -69,7 +69,9 @@ object Dedup {
     * pathological corpus could still go quadratic. Such shingles are
     * dropped BEFORE the join via a broadcast anti-join against the
     * (by construction tiny: ≤ shingles/doc ÷ maxDocFrac entries) hot
-    * set, and per-doc sizes are counted over the same capped space, so
+    * set — with an absolute floor of 5 docs, so tiny corpora (where 10%
+    * of n_docs would round below one document) are never capped — and
+    * per-doc sizes are counted over the same capped space, so
     * jaccard stays a true Jaccard over non-stop shingles — the standard
     * IR semantics (ubiquitous shingles carry no near-dup signal). On
     * corpora with no hot shingle (driver corpus max df is 1.4% of docs)
@@ -83,7 +85,7 @@ object Dedup {
     val nDocs = all.agg(countDistinct(col(idCol)).as("n_docs"))
     val hot = all.groupBy("s").agg(countDistinct(col(idCol)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") > col("n_docs") * maxDocFrac)
+      .filter(col("df") > greatest(col("n_docs") * maxDocFrac, lit(5.0)))
       .select("s")
     val sh = all.join(broadcast(hot), Seq("s"), "left_anti")
       .select(col(idCol), col("s"))
@@ -182,6 +184,55 @@ object Dedup {
     * Σ_words ±count): one explode → one hash-aggregate with 64 long
     * buffers, instead of a (doc, word) count shuffle first — one shuffle
     * total before the band join. */
+  /** Near-dup CLUSTERS from the pair graph: connected components by
+    * iterative min-label propagation (the Pregel/GraphX pattern spelled
+    * in DataFrames), then one row per document with its cluster id
+    * (= smallest doc id reachable through near-dup edges; the canonical
+    * survivor) and the cluster size. Documents with no near-dup form
+    * singleton clusters of themselves.
+    *
+    * Scale shape: each round is one equi-join edges⋈labels + one
+    * hash-agg — rounds needed = cluster diameter (near-dup clusters are
+    * shallow; ubiquitous-boilerplate chains are already cut by
+    * [[ngramJaccardPairs]]'s stop-shingle guard). Lineage is truncated
+    * with an eager localCheckpoint per round (iterative-plan hygiene —
+    * without it the plan doubles every round), and the driver-side loop
+    * carries only a converged-or-not count, never data.
+    *
+    * Oracled cross-engine: the pair graph is the exact (deterministic)
+    * Jaccard one, and min-reachable-label is a recursive CTE in DuckDB. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, k, threshold)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val viaNeighbor = edges
+        .join(labels.toDF("src", "src_label"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      val updated = labels
+        .join(viaNeighbor, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.toDF("node", "new_label")
+        .join(labels, "node")
+        .filter(col("new_label") =!= col("label"))
+        .isEmpty
+      labels = updated
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Portable 60-bit SimHash signatures: token hash = first 15 hex chars
     * of md5, parsed as an integer — reproducible in any engine that has
     * md5 (DuckDB: `CAST('0x' || substr(md5(w),1,15) AS BIGINT)`), which

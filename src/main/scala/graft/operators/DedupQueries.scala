@@ -98,6 +98,36 @@ object DedupQueries {
               |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
               |ORDER BY d1, d2""".stripMargin)),
 
+    // Near-dup clusters: connected components over the exact-Jaccard pair
+    // graph (min-label propagation), one row per doc with its canonical
+    // survivor + cluster size. Oracle = recursive-CTE reachability over
+    // the same deterministic pair graph.
+    Q("dedup_cluster",
+      (s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""${shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |pr AS (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT d1, d2 FROM pr
+              |  JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
+              |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+              |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              |          UNION ALL SELECT d2, d1 FROM pairs),
+              |reach(node, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+              |lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+              |        FROM reach GROUP BY node),
+              |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              |          FROM lab GROUP BY 1)
+              |SELECT doc_id, cluster_id, cluster_size
+              |FROM lab JOIN sizes USING (cluster_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // MinHash + LSH: no SQL oracle (hash-function specific); equivalence
     // with dedup_ngram's exact pair set is pinned in DedupSpec.
     Q("dedup_minhash",

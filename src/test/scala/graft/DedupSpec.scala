@@ -62,6 +62,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(byStr === byHash)
   }
 
+  test("nearDupClusters merges transitive chains and leaves singletons alone") {
+    // A~B and B~C above threshold, A~C below: one cluster via transitivity.
+    // 20-word docs; each edit block shifts 5 words => step Jaccard 13/23 ≈
+    // 0.57 >= 0.5, but A vs C share only 8/28 ≈ 0.29 < 0.5.
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = ((1 to 14).map(i => s"a$i") ++ (15 to 19).map(i => s"b$i") :+ "a20").mkString(" ")
+    val c = ((1 to 5).map(i => s"c$i") ++ (6 to 14).map(i => s"a$i")
+      ++ (15 to 19).map(i => s"b$i") :+ "a20").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+    // direct pair sanity: exactly (1,2) and (2,3)
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)), s"unexpected pair graph $pairs")
+    val clusters = Dedup.nearDupClusters(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters === Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L), 4L -> (4L, 1L)))
+  }
+
   test("exactDedup keeps exactly the earliest row per key") {
     val events = graft.sources.Tables.events(spark, SF)
     val deduped = Dedup.exactDedup(events, Seq("user_id", "event_type"),
