@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.expressions.{CharGramHash, ShingleHash, VecCosine, VecDot}
+import graft.expressions.{CharGramHash, ShingleHash, VecCosine, VecDiv, VecDot, VecMaxAbs, VecQuantize}
 import graft.plans.AsofJoinStrategy
 
 /** Production registration path: build the session with
@@ -23,18 +23,21 @@ import graft.plans.AsofJoinStrategy
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def fn(name: String, builder: Seq[Expression] => Expression)
+  private def fn(name: String, builder: Seq[Expression] => Expression, arity: Int = 2)
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
     (FunctionIdentifier(name),
       new ExpressionInfo("graft", name),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, s"$name expects 2 arguments")
+        require(exprs.length == arity, s"$name expects $arity arguments")
         builder(exprs)
       })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("vec_dot", es => VecDot(es(0), es(1))))
     ext.injectFunction(fn("vec_cosine", es => VecCosine(es(0), es(1))))
+    ext.injectFunction(fn("vec_max_abs", es => VecMaxAbs(es(0)), arity = 1))
+    ext.injectFunction(fn("vec_div", es => VecDiv(es(0), es(1))))
+    ext.injectFunction(fn("vec_quantize", es => VecQuantize(es(0), es(1))))
     ext.injectFunction(fn("shingle_hash", es => es(1) match {
       case Literal(k: Int, IntegerType) => ShingleHash(es(0), k)
       case other => throw new IllegalArgumentException(

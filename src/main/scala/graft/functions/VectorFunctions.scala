@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expressions.{VecCosine, VecDot}
+import graft.expressions.{VecCosine, VecDiv, VecDot, VecMaxAbs, VecQuantize}
 
 /** Vector math over `array<float>`/`array<double>` embedding columns
   * (NS mandate: similarity search).
@@ -30,4 +30,16 @@ object VectorFunctions {
   /** Cosine similarity; 0.0 for zero-norm inputs (rather than NaN) so
     * downstream top-k ordering stays total. */
   def cosine(a: Column, b: Column): Column = expr2(VecCosine)(a, b)
+
+  /** max |aᵢ| — the scale pass of int8 quantization. */
+  def maxAbs(a: Column): Column =
+    ColumnBridge.column(VecMaxAbs(ColumnBridge.expression(a)))
+
+  /** Element-wise aᵢ / s as array<double> (division, not reciprocal
+    * multiply — bit-compatible with a SQL `x / s` oracle). */
+  def vecDiv(a: Column, s: Column): Column = expr2(VecDiv)(a, s)
+
+  /** Int8-style scalar quantization round(aᵢ·s) → array<int>, half away
+    * from zero (matches Spark round(x,0) and DuckDB round). */
+  def quantize(a: Column, s: Column): Column = expr2(VecQuantize)(a, s)
 }
