@@ -126,7 +126,7 @@ case class VecMaxAbs(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
 
-  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+  override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
