@@ -22,6 +22,7 @@ object SparkEntry {
     TextQueries.all,
     DedupQueries.all,
     SimilarityQueries.all,
+    EmbeddingQueries.all,
     MultimodalQueries.all,
   )
 
