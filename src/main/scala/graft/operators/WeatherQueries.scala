@@ -144,34 +144,28 @@ object WeatherQueries {
 
     // O8-O13 + O23 as a DRIVER-CHECKED fact: the streaming state machine
     // (flatMapGroupsWithState, graft.streaming.WeatherStream) run over the
-    // same events via MemoryStream + synchronous micro-batches, sharing
-    // wx_rain_daily's oracle SQL — streaming ≡ batch ≡ DuckDB, hash-exact
-    // (the state accumulates with the batch DECIMAL(25,6) semantics, see
-    // RainState). Fed in 4 ordered chunks so cross-batch state carry is
-    // actually exercised. The driver-side collect is the MemoryStream
-    // FEED (a test-harness source surrogate — production reads a real
-    // stream source), not a query path.
+    // same events via a parquet FILE-SOURCE stream, sharing wx_rain_daily's
+    // oracle SQL — streaming ≡ batch ≡ DuckDB, hash-exact (the state
+    // accumulates with the batch DECIMAL(25,6) semantics, see RainState).
+    // The feed is 4 event-time-range chunk files replayed one per
+    // micro-batch (maxFilesPerTrigger=1, modification times force replay
+    // order), so cross-batch state carry is actually exercised with NO
+    // driver-side materialization: the only values collected are 3
+    // quantile boundaries. This is the production shape — swap the temp
+    // dir for a landing directory and the pipeline runs unbounded.
     Q("wx_rain_daily_stream",
       (s, dir) => {
-        import s.implicits._
         import graft.streaming.WeatherStream
-        import graft.streaming.WeatherStream.SensorReading
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
         val readings = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-          .orderBy("ts", "event_id")
-          .as[SensorReading].collect()
-        val input = MemoryStream[SensorReading]
+        val base = java.nio.file.Files
+          .createTempDirectory(s"wx_rain_stream_${streamRunId.incrementAndGet()}_").toFile
+        val input = WeatherStream.chunkedFileFeed(
+          readings, new java.io.File(base, "src").getAbsolutePath)
         val sinkName = s"wx_rain_stream_${streamRunId.incrementAndGet()}"
-        val q = WeatherStream.rainDailyStream(input.toDS()).writeStream
+        val q = WeatherStream.rainDailyStream(input).writeStream
           .format("memory").queryName(sinkName).outputMode("append").start()
-        try {
-          readings.grouped(math.max(readings.length / 4, 1)).foreach { chunk =>
-            input.addData(chunk.toSeq: _*)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         s.table(sinkName)
           .select(col("event_id"), col("user_id"), col("day"),
             col("total_rain_mm"), col("daily_rain_mm"), col("rain_rate_mmh"))

@@ -104,6 +104,40 @@ object WeatherStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(updateRain)
   }
 
+  /** Write `readings` (event_id, user_id, ts, value) as `nChunks`
+    * event-time-range parquet files under `dir` and return the file-source
+    * stream that replays them oldest-first, ONE chunk per micro-batch
+    * (maxFilesPerTrigger=1; per-chunk modification times pin the replay
+    * order — the file source drains ascending modtime). Range-splitting on
+    * event time means replay order == event-time order across batches,
+    * while [[updateRain]] sorts within each batch; nothing is collected to
+    * the driver beyond the nChunks-1 quantile boundaries. Production swaps
+    * the staging dir for a landing directory and runs unbounded. */
+  def chunkedFileFeed(readings: DataFrame, dir: String,
+                      nChunks: Int = 4): Dataset[SensorReading] = {
+    val s = readings.sparkSession
+    val probs = (1 until nChunks).map(_.toDouble / nChunks).toArray
+    val bounds = readings.select(col("ts").cast("double").as("t"))
+      .stat.approxQuantile("t", probs, 0.0)
+    val chunk = bounds.zipWithIndex.foldRight(lit(nChunks - 1)) {
+      case ((b, k), rest) => when(col("ts").cast("double") <= b, k).otherwise(rest)
+    }
+    readings.withColumn("chunk", chunk)
+      .repartition(nChunks, col("chunk"))
+      .write.partitionBy("chunk").mode("overwrite").parquet(dir)
+    val t0 = new java.io.File(dir).lastModified()
+    for (k <- 0 until nChunks) {
+      val d = new java.io.File(dir, s"chunk=$k")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .foreach(_.setLastModified(t0 + k * 60000L))
+    }
+    s.readStream
+      .schema(readings.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/chunk=*")
+      .as[SensorReading](org.apache.spark.sql.Encoders.product[SensorReading])
+  }
+
   /** Event-time tumbling aggregation with a watermark: late rows beyond
     * `lateness` are dropped — the generalized form of the reference's
     * stale-measurement guard (:244). */

@@ -84,6 +84,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("chunkedFileFeed replays as one ordered micro-batch per chunk") {
+    val readings = (0 until 40).map { i =>
+      SensorReading(i.toLong, i.toLong % 3,
+        new Timestamp(ts(0).getTime + i * 3600L * 1000L), (i % 7) * 0.5)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("chunk_feed_").toFile
+    val feed = WeatherStream.chunkedFileFeed(
+      readings.toDF("event_id", "user_id", "ts", "value"),
+      new java.io.File(dir, "src").getAbsolutePath)
+    val q = WeatherStream.rainDailyStream(feed).writeStream
+      .format("memory").queryName("feed_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the whole point of the feed: 4 chunks -> 4 SEPARATE micro-batches,
+      // so cross-batch state carry is exercised (not masked by one batch)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 4,
+        s"expected 4 data micro-batches, got ${batches.length}")
+      assert(batches.map(_.numInputRows).sum === 40)
+      // and the replay order must be event-time order: output == batch path
+      val streamed = spark.table("feed_out").as[RainObs].collect()
+        .sortBy(_.event_id).map(o => (o.event_id, o.day, o.total_rain_mm,
+          o.daily_rain_mm, o.rain_rate_mmh)).toSeq
+      val batch = graft.operators.WeatherQueries.rainDaily(
+          readings.toDF("event_id", "user_id", "ts", "value"))
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("registered wx_rain_daily_stream is row-identical to batch wx_rain_daily") {
     // exact Row equality, doubles included — the BigDecimal state carries
     // the batch DECIMAL(25,6) semantics, so the shared oracle hash-matches
