@@ -53,7 +53,10 @@ object Bench {
     // 11.6s for one groupBy). Selective re-run keeps total bench wall
     // close to a single pass.
     val p2 = names.filter(p1(_) > 0.3).map(n => n -> run(n)).toMap
-    val results = names.map(n => n -> math.min(p1(n), p2.getOrElse(n, p1(n))))
+    // A transient pass-2 failure (-1) must not erase a valid pass-1
+    // measurement: only min over non-negative timings.
+    val results = names.map(n =>
+      n -> math.min(p1(n), p2.get(n).filter(_ >= 0).getOrElse(p1(n))))
     val failed = results.collect { case (n, v) if v < 0 => n }
     val ok = results.filter(_._2 >= 0)
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a

@@ -17,15 +17,28 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
+  /** Shared prelude for the exact-Jaccard oracles. Mirrors
+    * [[Dedup.ngramJaccardPairs]] exactly, INCLUDING the stop-shingle
+    * guard (drop shingles with df > max(10% of docs, 5) before pair
+    * counting; per-doc sizes over the capped space) — the engine and the
+    * oracle must keep identical semantics on any corpus, not just ones
+    * where the guard is a no-op. */
   private val shinglesSql =
     """WITH w AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
       |  FROM documents),
-      |sh AS (
+      |sh0 AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(words) - 1),
       |    i -> array_to_string(words[i:i+2], ' ')))) AS shingle
       |  FROM w WHERE len(words) >= 3),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh0),
+      |hot AS (
+      |  SELECT shingle FROM sh0 CROSS JOIN nd
+      |  GROUP BY shingle, n_docs
+      |  HAVING count(DISTINCT doc_id) > greatest(0.1 * n_docs, 5)),
+      |sh AS (SELECT doc_id, shingle FROM sh0
+      |       WHERE shingle NOT IN (SELECT shingle FROM hot)),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   /** DuckDB twin of [[Dedup.simhashPortablePairs]] — generated so the 60

@@ -20,10 +20,11 @@ object AggregatorProps extends Properties("aggregators") {
     Prop.forAll(Gen.listOf(pairGen), Gen.chooseNum(1, 7), Gen.chooseNum(0, 100)) {
       (xs: List[(Double, Long)], k: Int, splitSeed: Int) =>
         val agg = new graft.functions.TopKAggregator(k)
-        // duplicates allowed: the aggregator is set-semantic over
-        // (score, id) pairs, so replayed rows (streaming at-least-once
-        // recovery) cannot displace legitimate entries
-        val input = xs
+        // set semantics under replay: re-append half the input as exact
+        // (score, id) duplicates (streaming at-least-once recovery folds
+        // the same rows back into state) — duplicates must never displace
+        // a legitimate entry, on either the reduce or the merge path
+        val input = xs ++ xs.take(xs.length / 2)
         val split = if (input.isEmpty) 0 else splitSeed % (input.length + 1)
         val (a, b) = input.splitAt(split)
         val bufA = a.foldLeft(agg.zero)(agg.reduce)
