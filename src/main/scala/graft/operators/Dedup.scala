@@ -302,4 +302,34 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Embedding-cosine near-dup pairs, blocked: every within-block pair is
+    * exactly verified against `threshold` ((v1, v2, blockCols..., cos),
+    * v1 < v2).
+    *
+    * The blocking key IS the scale knob. Candidate pairs are
+    * Σ_b |b|·(|b|−1)/2, so at a FIXED key granularity work grows
+    * quadratically with corpus size — measured on the test corpus (10
+    * labels): 199,666 pairs at sf0.1 → 20,056,600 at 10× data, exactly
+    * the 100× block-size square (wall 20×, local[32] slack absorbing the
+    * rest; BENCH_SCALING.json). Splitting the same corpus into B
+    * equal-size blocks divides the pair count by B. Production therefore
+    * composes a finer key — an IVF cell ([[Similarity.ivfKnn]]'s coarse
+    * quantizer, fit offline) or an LSH bucket — with any semantic key,
+    * bounding block size at a measured recall cost (RECALL.md gives the
+    * recall/latency curve for both bucketing families). */
+  def embedPairs(df: DataFrame, idCol: String, vecCol: String,
+                 blockCols: Seq[String], threshold: Double): DataFrame = {
+    val a = df.select((idCol +: vecCol +: blockCols).map(col): _*)
+      .toDF("v1" +: "emb1" +: blockCols: _*)
+    val b = df.select((idCol +: vecCol +: blockCols).map(col): _*)
+      .toDF("v2" +: "emb2" +: blockCols.map(_ + "__r"): _*)
+    val on = blockCols.map(c => col(c) === col(c + "__r")).reduce(_ && _) &&
+      col("v1") < col("v2")
+    a.join(b, on)
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("emb1"), col("emb2")))
+      .filter(col("cos") >= threshold)
+      .select((Seq("v1", "v2") ++ blockCols :+ "cos").map(col): _*)
+  }
 }

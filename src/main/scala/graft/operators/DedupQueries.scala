@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.functions.VectorFunctions
 import graft.sources.Tables
 
 /** Deduplication pack bindings to the test tables (NS mandate); the
@@ -175,18 +174,15 @@ object DedupQueries {
       Some(simhashVerifySql)),
 
     // Embedding-cosine near-dup, label-blocked (the blocking key stands in
-    // for a coarse quantizer/IVF cell at scale). Oracle-checkable: the
-    // cosine is bit-identical between VecCosine and the DuckDB list-fold
-    // twin (see SimilarityQueries.cosineSql), so the >=0.35 threshold cuts
-    // identically.
+    // for a coarse quantizer/IVF cell at scale — see Dedup.embedPairs for
+    // the measured quadratic-in-block-size analysis and the knob).
+    // Oracle-checkable: the cosine is bit-identical between VecCosine and
+    // the DuckDB list-fold twin (see SimilarityQueries.cosineSql), so the
+    // >=0.35 threshold cuts identically.
     Q("dedup_embed",
       (s, dir) => {
         val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
-        val a = e.toDF("v1", "label", "emb1")
-        val b = e.toDF("v2", "label2", "emb2")
-        a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
-          .withColumn("cos", VectorFunctions.cosine(col("emb1"), col("emb2")))
-          .filter(col("cos") >= 0.35)
+        Dedup.embedPairs(e, "vec_id", "embedding", Seq("label"), 0.35)
           .select(col("v1"), col("v2"), col("label"), r6(col("cos")).as("cosine"))
           .orderBy("v1", "v2")
       },
