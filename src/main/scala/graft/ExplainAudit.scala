@@ -25,7 +25,9 @@ object ExplainAudit {
     "docs_pipeline",    // composed prep: one window shuffle only
     "sim_knn_topk",     // ObjectHashAggregate w/ bounded top-k buffer, partial map-side
     "ts_gapfill",       // grid generate + left join + one window sort
-    "wx_wow_record")    // flagship: windows + scalar derivations fused
+    "wx_wow_record",    // flagship: windows + scalar derivations fused
+    "emb_normalize",    // scan -> per-row codegen'd vector math, no shuffle
+    "sim_knn_i8")       // quantize + broadcast + codegen'd integer cosine
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -39,6 +39,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(2) === 0.0) // zero-norm guard, not NaN
   }
 
+  test("vec_max_abs / vec_div / vec_quantize are SQL functions under the extensions") {
+    val row = spark.sql(
+      """SELECT vec_max_abs(array(1.0F, -3.5F, 2.0F)) AS m,
+        |       vec_div(array(2.0F, -4.0F), 2.0D) AS dv,
+        |       vec_quantize(array(2.5F, -2.5F, 1.4F), 1.0D) AS qz
+        |""".stripMargin).head()
+    assert(row.getDouble(0) === 3.5)
+    assert(row.getSeq[Double](1) === Seq(1.0, -2.0))
+    assert(row.getSeq[Int](2) === Seq(3, -3, 1)) // half away from zero
+  }
+
   test("shingle_hash is a SQL function and matches a reference FNV-1a fold") {
     val row = spark.sql(
       "SELECT shingle_hash(array('a', 'b', 'c', 'd'), 3) AS h").head()
