@@ -23,6 +23,7 @@ object SparkEntry {
     DedupQueries.all,
     SimilarityQueries.all,
     EmbeddingQueries.all,
+    SamplingQueries.all,
     MultimodalQueries.all,
   )
 
