@@ -26,6 +26,10 @@ object WindowQueries {
 
   private val GapUs = 1800L * 1000000L // 30-minute session gap, microseconds
 
+  /** Unique memory-sink names across repeated invocations (Bench runs a
+    * query up to 3 times in one session). */
+  private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Exact running sum over a window: DECIMAL accumulation, double result. */
   private def wsum(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
     sum(c.cast(DecimalType(25, 6))).over(w).cast("double")
@@ -263,6 +267,44 @@ object WindowQueries {
         .select(unix_timestamp(col("window.start")).as("ws"),
                 col("event_type"), col("n"), col("sum_value"))
         .orderBy("ws", "event_type"),
+      Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
+              |  count(*) AS n, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // win_tumbling as a STREAMING fact: the identical window()+agg run as
+    // a watermarked Structured Streaming query over the parquet file-source
+    // feed (4 event-time chunks, one per micro-batch), sharing the batch
+    // oracle — windowed streaming ≡ batch ≡ DuckDB, hash-exact (DECIMAL
+    // sum state is order-independent). Append mode only emits
+    // watermark-closed windows, so a single far-future sentinel row rides
+    // in the last chunk to push the watermark past every real window; the
+    // sentinel's own window never closes and is never emitted.
+    Q("win_tumbling_stream",
+      (s, dir) => {
+        import graft.streaming.WeatherStream
+        val ev = Tables.events(s, dir).select(col("ts"), col("event_type"), col("value"))
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        val sentinel = s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000),
+            "__sentinel", 0.0)),
+          ev.schema)
+        val base = java.nio.file.Files
+          .createTempDirectory(s"win_tumbling_stream_${streamRunId.incrementAndGet()}_").toFile
+        val input = WeatherStream.chunkedFileFeedDF(
+          ev.union(sentinel), "ts", new java.io.File(base, "src").getAbsolutePath)
+        val agg = input
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("ws"),
+            col("event_type"), col("n"), col("sum_value"))
+        val sinkName = s"win_tumbling_stream_${streamRunId.incrementAndGet()}"
+        val q = agg.writeStream
+          .format("memory").queryName(sinkName).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sinkName).orderBy("ws", "event_type")
+      },
       Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
               |  count(*) AS n, ${dsumSql("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),

@@ -114,13 +114,21 @@ object WeatherStream {
     * the driver beyond the nChunks-1 quantile boundaries. Production swaps
     * the staging dir for a landing directory and runs unbounded. */
   def chunkedFileFeed(readings: DataFrame, dir: String,
-                      nChunks: Int = 4): Dataset[SensorReading] = {
+                      nChunks: Int = 4): Dataset[SensorReading] =
+    chunkedFileFeedDF(readings, "ts", dir, nChunks)
+      .as[SensorReading](org.apache.spark.sql.Encoders.product[SensorReading])
+
+  /** Untyped core of [[chunkedFileFeed]]: schema-preserving, splits on
+    * `tsCol`. Works for any event-time DataFrame (the tumbling-window
+    * streaming query uses it over (ts, event_type, value)). */
+  def chunkedFileFeedDF(readings: DataFrame, tsCol: String, dir: String,
+                        nChunks: Int = 4): DataFrame = {
     val s = readings.sparkSession
     val probs = (1 until nChunks).map(_.toDouble / nChunks).toArray
-    val bounds = readings.select(col("ts").cast("double").as("t"))
+    val bounds = readings.select(col(tsCol).cast("double").as("t"))
       .stat.approxQuantile("t", probs, 0.0)
     val chunk = bounds.zipWithIndex.foldRight(lit(nChunks - 1)) {
-      case ((b, k), rest) => when(col("ts").cast("double") <= b, k).otherwise(rest)
+      case ((b, k), rest) => when(col(tsCol).cast("double") <= b, k).otherwise(rest)
     }
     readings.withColumn("chunk", chunk)
       .repartition(nChunks, col("chunk"))
@@ -135,7 +143,6 @@ object WeatherStream {
       .schema(readings.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$dir/chunk=*")
-      .as[SensorReading](org.apache.spark.sql.Encoders.product[SensorReading])
   }
 
   /** Event-time tumbling aggregation with a watermark: late rows beyond

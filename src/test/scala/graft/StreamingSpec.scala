@@ -125,6 +125,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
   }
 
+  test("registered win_tumbling_stream is row-identical to batch win_tumbling") {
+    // watermarked streaming windows over the file feed == batch windows,
+    // exact Rows (DECIMAL sum state; sentinel window never emitted)
+    val streamed = SparkEntry.queries("win_tumbling_stream")(spark, SF).collect()
+    val batch = SparkEntry.queries("win_tumbling")(spark, SF).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
+
   test("WowSink posts per-partition and drops (not retries) on transport failure") {
     import graft.streaming.WowSink
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

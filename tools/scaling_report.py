@@ -15,7 +15,7 @@ EXPECTED_SUPERLINEAR = {
     # candidate work is |corpus| x |queries| ~ sf^2 by construction. The
     # fixed-query-set scaling story is covered by the lsh_fixedq row
     # measured separately in SkewBench/README.
-    "sim_knn", "sim_knn_topk", "sim_knn_ivf", "sim_knn_lsh",
+    "sim_knn", "sim_knn_topk", "sim_knn_ivf", "sim_knn_lsh", "sim_knn_i8",
     # label-blocked pair join: blocks grow with sf on both sides
     "dedup_embed",
     # 25x25 nation self-pair with per-pair edit distance is constant-size,
