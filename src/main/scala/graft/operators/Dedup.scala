@@ -215,16 +215,17 @@ object Dedup {
         .join(labels.toDF("src", "src_label"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("src_label")).as("nbr_label"))
+      // carry a per-row changed flag through the checkpoint: convergence
+      // reads the (already materialized) flag instead of re-joining the
+      // previous labels — one action per round, no extra join
       val updated = labels
         .join(viaNeighbor, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("changed"))
         .localCheckpoint(true)
-      converged = updated.toDF("node", "new_label")
-        .join(labels, "node")
-        .filter(col("new_label") =!= col("label"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.drop("changed")
     }
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))

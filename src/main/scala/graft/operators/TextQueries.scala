@@ -62,6 +62,47 @@ object TextQueries {
              |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Within-document repetition (Gopher-style quality rule): fraction of
+    // 3-word shingle OCCURRENCES that are repeats of an earlier shingle in
+    // the same document. Integer counts + one final division — fully
+    // deterministic cross-engine. Pure per-row array math, no shuffle
+    // (docs with <3 words report 0 total / 0 distinct / 0.0 ratio).
+    Q("text_repetition",
+      (s, dir) => {
+        val words = filter(split(col("text"), " "), w => w =!= "")
+        // guarded: Spark's sequence(1, 0) counts DOWN, so short docs must
+        // short-circuit to an empty gram list instead
+        val grams = when(size(col("__words")) >= 3, expr(
+            """transform(sequence(1, size(__words) - 2),
+              |          i -> concat_ws(' ', slice(__words, i, 3)))""".stripMargin))
+          .otherwise(array().cast("array<string>"))
+        Tables.documents(s, dir)
+          .withColumn("__words", words)
+          .withColumn("__grams", grams)
+          .select(col("doc_id"),
+            size(col("__grams")).as("n_grams"),
+            size(array_distinct(col("__grams"))).as("n_distinct"),
+            when(size(col("__grams")) === 0, lit(0.0))
+              .otherwise((size(col("__grams")) - size(array_distinct(col("__grams"))))
+                .cast("double") / size(col("__grams")))
+              .as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(grams) AS INTEGER) AS n_grams,
+             |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+             |  CASE WHEN len(grams) = 0 THEN 0.0
+             |       ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             |  END AS dup_ratio
+             |FROM (
+             |  SELECT doc_id,
+             |    list_transform(range(1, greatest(len(words) - 1, 1)),
+             |                   i -> array_to_string(words[i:i+2], ' ')) AS grams
+             |  FROM (SELECT doc_id,
+             |          list_filter(string_split(text, ' '), x -> x <> '') AS words
+             |        FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
     // Quality scoring: length/stopword/uniqueness signals combined into a
     // bounded [0,1] score — the pre-training filter shape.
     Q("text_quality",
