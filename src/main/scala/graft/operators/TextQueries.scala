@@ -247,6 +247,75 @@ object TextQueries {
               |  round(q * 1e6) / 1e6 AS quality
               |FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // The COMPLETE curation pipeline as one declarative plan: stable
+    // train-split selection → quality filter → exact near-dup removal →
+    // token accounting → token-budget shard packing. Three shuffles
+    // total, each on a real key (text_hash window, pack bucket, output
+    // sort) — the full corpus-to-training-shards shape at 100 TB, and
+    // every stage's math is the already-oracled spelling from
+    // sample_split / text_quality / dedup_text / docs_pack, so the
+    // composition is oracle-checked end-to-end too.
+    Q("docs_curate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val words = filter(split(col("text"), " "), w => w =!= "")
+        val nWords = size(words)
+        val nStop = size(filter(words, w => w.isin(Stopwords.map(x => x: Any): _*)))
+        val nUniq = size(array_distinct(words))
+        val quality = least(nWords.cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - nStop.cast("double") / nWords) * 0.3 +
+          nUniq.cast("double") / nWords * 0.3
+        val w = Window.partitionBy("text_hash").orderBy("doc_id")
+        val kept = Sampling.hashSplit(Tables.documents(s, dir), col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .filter(col("split") === "train")
+          .withColumn("q", quality)
+          .filter(col("q") >= 0.5)
+          .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("q"),
+            size(filter(split(col("text"), "\\s+"), x => x =!= "")).as("n_tokens"))
+        Sampling.packBySize(kept, col("doc_id"), col("n_tokens"),
+            nBuckets = 8, shardSize = 4096L)
+          .select(col("doc_id"), col("n_tokens"), r6(col("q")).as("quality"),
+            col("bucket"), col("shard"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val t1 = Sampling.fractionThreshold(0.8)
+        s"""WITH scored AS (
+           |  SELECT doc_id, text,
+           |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+           |      + (1.0 - CAST(n_stop AS DOUBLE) / n_words) * 0.3
+           |      + CAST(n_uniq AS DOUBLE) / n_words * 0.3 AS q
+           |  FROM (SELECT doc_id, text,
+           |          len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+           |          len(list_filter(string_split(text, ' '), w -> w IN ($stopSqlList))) AS n_stop,
+           |          len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_uniq
+           |        FROM documents
+           |        WHERE ${Sampling.keyHash60Sql("doc_id", "split")} < $t1)),
+           |kept AS (
+           |  SELECT doc_id, q,
+           |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           |    row_number() OVER (PARTITION BY md5(lower(trim(text)))
+           |                       ORDER BY doc_id) AS rn
+           |  FROM scored WHERE q >= 0.5),
+           |bucketed AS (
+           |  SELECT doc_id, q, n_tokens,
+           |    CAST(${Sampling.keyHash60Sql("doc_id", "pack")} % 8 AS INTEGER) AS bucket
+           |  FROM kept WHERE rn = 1),
+           |packed AS (
+           |  SELECT doc_id, q, n_tokens, bucket,
+           |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM bucketed)
+           |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           |  round(q * 1e6) / 1e6 AS quality, bucket,
+           |  CAST((cum - n_tokens) // 4096 AS INTEGER) AS shard
+           |FROM packed ORDER BY doc_id""".stripMargin
+      }),
+
     // Document fingerprint: bottom-k sketch of character-8-gram hashes
     // (KMV / winnowing-style). Hash functions differ engine-to-engine, so
     // no SQL oracle; identity & near-dup overlap properties are pinned in
