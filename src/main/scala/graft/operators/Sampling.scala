@@ -53,6 +53,15 @@ object Sampling {
                  salt: String = "sample"): DataFrame =
     df.filter(keyHash60(key, salt) < fractionThreshold(fraction))
 
+  /** Cumulative hash-space cut points for `splits`, in listed order — the
+    * SINGLE source both the engine plan and any oracle SQL must read
+    * (double summation of weights can drift a ULP for generic weights,
+    * e.g. 0.1+0.2 ≠ 0.3; sharing the computed cuts keeps both engines'
+    * assignments identical for ANY weights, not just ones that happen to
+    * sum exactly). */
+  def splitCuts(splits: Seq[(String, Double)]): Seq[Long] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(fractionThreshold)
+
   /** Deterministic split assignment: ranges of the hash space in listed
     * order, e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
     * Weights must sum to ~1; the last split absorbs rounding. */
@@ -61,8 +70,7 @@ object Sampling {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
     val h = keyHash60(key, salt)
-    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(fractionThreshold)
-    val assign = splits.init.zip(cuts).foldRight(lit(splits.last._1): Column) {
+    val assign = splits.init.zip(splitCuts(splits)).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cut), rest) => when(h < cut, name).otherwise(rest)
     }
     df.withColumn("split", assign)

@@ -36,8 +36,10 @@ object SamplingQueries {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id"),
       Some {
-        val t1 = Sampling.fractionThreshold(0.8)
-        val t2 = Sampling.fractionThreshold(0.9)
+        // read the thresholds off the ENGINE's cut computation (splitCuts)
+        // so oracle and plan stay identical for any weights
+        val Seq(t1, t2, _) = Sampling.splitCuts(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         s"""SELECT doc_id,
            |  CASE WHEN ${h60Sql("doc_id", "split")} < $t1 THEN 'train'
            |       WHEN ${h60Sql("doc_id", "split")} < $t2 THEN 'val'
@@ -71,7 +73,9 @@ object SamplingQueries {
     Q("docs_pack",
       (s, dir) => Sampling.packBySize(
           Tables.documents(s, dir)
-            .select(col("doc_id"), col("text"),
+            // text is consumed HERE: only (doc_id, n_tokens) ride into the
+            // pack shuffle, not every document body
+            .select(col("doc_id"),
               size(filter(split(col("text"), " "), w => w =!= "")).as("n_tokens")),
           col("doc_id"), col("n_tokens"), nBuckets = 8, shardSize = 4096L)
         .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"))

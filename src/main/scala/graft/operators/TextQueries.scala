@@ -283,7 +283,8 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some {
-        val t1 = Sampling.fractionThreshold(0.8)
+        val t1 = Sampling.splitCuts(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).head
         s"""WITH scored AS (
            |  SELECT doc_id, text,
            |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4

@@ -158,10 +158,8 @@ object WeatherQueries {
         import graft.streaming.WeatherStream
         val readings = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-        val base = java.nio.file.Files
-          .createTempDirectory(s"wx_rain_stream_${streamRunId.incrementAndGet()}_").toFile
         val input = WeatherStream.chunkedFileFeed(
-          readings, new java.io.File(base, "src").getAbsolutePath)
+          readings, WeatherStream.stagingDir("wx_rain", dir))
         val sinkName = s"wx_rain_stream_${streamRunId.incrementAndGet()}"
         val q = WeatherStream.rainDailyStream(input).writeStream
           .format("memory").queryName(sinkName).outputMode("append").start()

@@ -289,10 +289,8 @@ object WindowQueries {
             new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000),
             "__sentinel", 0.0)),
           ev.schema)
-        val base = java.nio.file.Files
-          .createTempDirectory(s"win_tumbling_stream_${streamRunId.incrementAndGet()}_").toFile
         val input = WeatherStream.chunkedFileFeedDF(
-          ev.union(sentinel), "ts", new java.io.File(base, "src").getAbsolutePath)
+          ev.union(sentinel), "ts", WeatherStream.stagingDir("win_tumbling", dir))
         val agg = input
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -120,30 +120,49 @@ object WeatherStream {
 
   /** Untyped core of [[chunkedFileFeed]]: schema-preserving, splits on
     * `tsCol`. Works for any event-time DataFrame (the tumbling-window
-    * streaming query uses it over (ts, event_type, value)). */
+    * streaming query uses it over (ts, event_type, value)).
+    *
+    * Degenerate event-time distributions (a value spanning a quantile
+    * boundary) collapse adjacent chunks: duplicate bounds are
+    * deduplicated, so the feed degrades to fewer (still correctly
+    * ordered) micro-batches instead of writing empty chunk ranges. */
   def chunkedFileFeedDF(readings: DataFrame, tsCol: String, dir: String,
                         nChunks: Int = 4): DataFrame = {
     val s = readings.sparkSession
     val probs = (1 until nChunks).map(_.toDouble / nChunks).toArray
     val bounds = readings.select(col(tsCol).cast("double").as("t"))
       .stat.approxQuantile("t", probs, 0.0)
-    val chunk = bounds.zipWithIndex.foldRight(lit(nChunks - 1)) {
+      .distinct
+    val chunk = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
       case ((b, k), rest) => when(col(tsCol).cast("double") <= b, k).otherwise(rest)
     }
     readings.withColumn("chunk", chunk)
-      .repartition(nChunks, col("chunk"))
+      .repartition(bounds.length + 1, col("chunk"))
       .write.partitionBy("chunk").mode("overwrite").parquet(dir)
     val t0 = new java.io.File(dir).lastModified()
-    for (k <- 0 until nChunks) {
+    for (k <- 0 to bounds.length) {
       val d = new java.io.File(dir, s"chunk=$k")
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .foreach(_.setLastModified(t0 + k * 60000L))
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        // replay order (ascending modtime in FileStreamSource) is a
+        // CORRECTNESS dependency of the stateful consumers — a filesystem
+        // that cannot pin mtimes must fail loudly, not reorder silently
+        require(f.setLastModified(t0 + k * 60000L),
+          s"cannot set modification time on $f; chunk replay order would be undefined")
+      }
     }
     s.readStream
       .schema(readings.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$dir/chunk=*")
   }
+
+  /** One staging directory per feed name under java.io.tmpdir, REUSED
+    * across invocations (overwrite-mode writes reset it): Bench/Verify
+    * invoke each streaming query several times per session, and a fresh
+    * temp dir per run would leak a full table copy each time. */
+  def stagingDir(name: String, sfDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_feed_${name}_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
 
   /** Event-time tumbling aggregation with a watermark: late rows beyond
     * `lateness` are dropped — the generalized form of the reference's
