@@ -307,6 +307,56 @@ object WindowQueries {
               |  count(*) AS n, ${dsumSql("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // Running top-k per key over a STREAM (mapGroupsWithState, state =
+    // the same bounded TopKAggregator buffer batch ranking uses — O(k)
+    // per key forever, no watermark needed: all-history top-k is
+    // monotone). Driver-checked: after draining the chunked file feed,
+    // each key's LAST emission (identified by a per-key monotone seen
+    // counter carried in state) must equal the batch window ranking —
+    // the third streaming ≡ batch ≡ DuckDB fact, covering stateful
+    // typed aggregation. Replay duplicates cannot displace entries
+    // (TopKAggregator set semantics, AggregatorProps).
+    Q("topk_stream",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.streaming.GroupStateTimeout
+        val readings = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val input = graft.streaming.WeatherStream.chunkedFileFeed(
+          readings, graft.streaming.WeatherStream.stagingDir("topk_stream", dir))
+        val agg = new graft.functions.TopKAggregator(3)
+        val updates = input.map(r => (r.user_id, r.value, r.event_id))
+          .groupByKey(_._1)
+          .mapGroupsWithState[(Array[(Double, Long)], Long), (Long, Long, Seq[Double], Seq[Long])](
+            GroupStateTimeout.NoTimeout) { (key, it, state) =>
+            val (buf0, seen0) = state.getOption.getOrElse((agg.zero, 0L))
+            var n = seen0
+            val folded = it.foldLeft(buf0) { (b, r) => n += 1; agg.reduce(b, (r._2, r._3)) }
+            state.update((folded, n))
+            (key, n, folded.toSeq.map(_._1), folded.toSeq.map(_._2))
+          }
+        val sinkName = s"topk_stream_${streamRunId.incrementAndGet()}"
+        val q = updates.toDF("user_id", "n_seen", "scores", "ids")
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+        val w = Window.partitionBy("user_id").orderBy(desc("n_seen"))
+        s.table(sinkName)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), posexplode(arrays_zip(col("ids"), col("scores"))))
+          .select(col("user_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.ids").as("event_id"), col("col.scores").as("value"))
+          .orderBy("user_id", "rank")
+      },
+      Some("""SELECT user_id, CAST(rank AS INTEGER) AS rank, event_id, value
+             |FROM (SELECT user_id, event_id, value,
+             |        row_number() OVER (PARTITION BY user_id
+             |                           ORDER BY value DESC, event_id) AS rank
+             |      FROM events)
+             |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin)),
+
     // Sliding window (1 hour every 15 min): each event lands in 4 windows.
     // The DuckDB oracle reproduces Spark's slide-aligned window assignment
     // with an explicit ×4 expansion join.
