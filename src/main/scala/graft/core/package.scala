@@ -47,6 +47,21 @@ package object core {
 
   def r6(c: Column): Column = rN(c, 6)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value afterwards. Used by the streaming
+    * queries: a Structured Streaming query fixes its STATE partition
+    * count from this conf at start, and the harness corpora need far
+    * fewer state partitions than the batch default — per-batch task
+    * overhead (32 state-store tasks × ~6 micro-batches × stateful ops)
+    * otherwise dominates their bench time. At production scale the
+    * session default is simply left alone. */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Collect modules into the SparkEntry maps. */
   def registry(modules: Seq[Seq[Q]]): (Map[String, QueryFn], Map[String, String]) = {
     val qs = modules.flatten

@@ -161,9 +161,11 @@ object WeatherQueries {
         val input = WeatherStream.chunkedFileFeed(
           readings, WeatherStream.stagingDir("wx_rain", dir))
         val sinkName = s"wx_rain_stream_${streamRunId.incrementAndGet()}"
-        val q = WeatherStream.rainDailyStream(input).writeStream
-          .format("memory").queryName(sinkName).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        withShufflePartitions(s, 8) {
+          val q = WeatherStream.rainDailyStream(input).writeStream
+            .format("memory").queryName(sinkName).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table(sinkName)
           .select(col("event_id"), col("user_id"), col("day"),
             col("total_rain_mm"), col("daily_rain_mm"), col("rain_rate_mmh"))

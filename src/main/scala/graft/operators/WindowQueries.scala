@@ -298,9 +298,11 @@ object WindowQueries {
           .select(unix_timestamp(col("window.start")).as("ws"),
             col("event_type"), col("n"), col("sum_value"))
         val sinkName = s"win_tumbling_stream_${streamRunId.incrementAndGet()}"
-        val q = agg.writeStream
-          .format("memory").queryName(sinkName).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        withShufflePartitions(s, 8) {
+          val q = agg.writeStream
+            .format("memory").queryName(sinkName).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.table(sinkName).orderBy("ws", "event_type")
       },
       Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
@@ -337,10 +339,12 @@ object WindowQueries {
             (key, n, folded.toSeq.map(_._1), folded.toSeq.map(_._2))
           }
         val sinkName = s"topk_stream_${streamRunId.incrementAndGet()}"
-        val q = updates.toDF("user_id", "n_seen", "scores", "ids")
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode("update").start()
-        try q.processAllAvailable() finally q.stop()
+        withShufflePartitions(s, 8) {
+          val q = updates.toDF("user_id", "n_seen", "scores", "ids")
+            .writeStream.format("memory").queryName(sinkName)
+            .outputMode("update").start()
+          try q.processAllAvailable() finally q.stop()
+        }
         val w = Window.partitionBy("user_id").orderBy(desc("n_seen"))
         s.table(sinkName)
           .withColumn("rn", row_number().over(w))
