@@ -177,13 +177,6 @@ object Dedup {
       .select("d1", "d2", "j_est", "j_exact")
   }
 
-  /** 64-bit SimHash near-dup pairs via 4×16-bit band join:
-    * (d1, d2, hamming) with hamming <= maxHamming.
-    *
-    * Bit sums run directly over token occurrences (Σ_occurrences ±1 ≡
-    * Σ_words ±count): one explode → one hash-aggregate with 64 long
-    * buffers, instead of a (doc, word) count shuffle first — one shuffle
-    * total before the band join. */
   /** Near-dup CLUSTERS from the pair graph: connected components by
     * iterative min-label propagation (the Pregel/GraphX pattern spelled
     * in DataFrames), then one row per document with its cluster id
@@ -275,6 +268,23 @@ object Dedup {
       .distinct()
   }
 
+  /** 64-bit SimHash near-dup pairs via 4×16-bit band join: (d1, d2,
+    * hamming), hamming <= maxHamming, candidates = documents sharing any
+    * band value. Bit sums run directly over token occurrences
+    * (Σ_occurrences ±1 ≡ Σ_words ±count): one explode → one
+    * hash-aggregate with 64 long buffers, instead of a (doc, word) count
+    * shuffle first — one shuffle total before the band join.
+    *
+    * Band-width sizing at scale: RANDOM band collisions number
+    * ~bands · n² / 2^bits, so a FIXED 16-bit band goes quadratic once the
+    * corpus outgrows ~2^16 documents per natural partition — measured
+    * here as dedup_simhash_verify's 8× wall at 10× data (50 k docs
+    * against 15-bit bands, BENCH_SCALING.json). The knob is band width:
+    * keep 2^bits ≳ corpus size (e.g. 2×32-bit bands at 10⁹ docs, or
+    * band on (prefix, value) within a coarser partition), trading a
+    * stricter candidate filter (more bits = fewer chance collisions but
+    * also fewer chances for a true near-dup to collide) against join
+    * fan-out. Same law as MinHash banding. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8): DataFrame = {
     def bitSum(i: Int) =
