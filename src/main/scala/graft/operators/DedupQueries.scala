@@ -16,6 +16,9 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
+  /** Unique memory-sink names across repeated invocations. */
+  private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Shared prelude for the exact-Jaccard oracles. Mirrors
     * [[Dedup.ngramJaccardPairs]] exactly, INCLUDING the stop-shingle
     * guard (drop shingles with df > max(10% of docs, 5) before pair
@@ -81,6 +84,35 @@ object DedupQueries {
              |                       ORDER BY ts, event_id) AS rn
              |  FROM events)
              |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // Exact dedup as a STREAMING fact: dropDuplicates over the chunked
+    // file feed — state is the key set, each distinct (user_id,
+    // event_type) is emitted exactly once across micro-batches. Output
+    // carries ONLY the key columns: which arrival within a batch is kept
+    // is partition-order-arbitrary, so the keyset is the part of the
+    // contract that is deterministic (and it equals the batch DISTINCT —
+    // the fourth streaming ≡ batch ≡ DuckDB fact, covering streaming
+    // dedup state; the watermarked bounded-state variant
+    // WeatherStream.dedupStream is pinned in StreamingSpec).
+    Q("dedup_keys_stream",
+      (s, dir) => {
+        import graft.streaming.WeatherStream
+        val ev = Tables.events(s, dir)
+          .select(col("ts"), col("user_id"), col("event_type"))
+        val input = WeatherStream.chunkedFileFeedDF(
+          ev, "ts", WeatherStream.stagingDir("dedup_keys", dir))
+        val sinkName = s"dedup_keys_stream_${streamRunId.incrementAndGet()}"
+        withShufflePartitions(s, 8) {
+          val q = input.dropDuplicates("user_id", "event_type").writeStream
+            .format("memory").queryName(sinkName).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(sinkName)
+          .select(col("user_id"), col("event_type"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
 
     // Normalized-text exact dedup: hash-groupBy on a canonicalized digest.
     Q("dedup_text",
