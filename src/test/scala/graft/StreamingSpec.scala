@@ -116,6 +116,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("chunkedFileFeed degrades gracefully on heavily-tied event times") {
+    // >25% of rows share one timestamp -> duplicate quantile bounds are
+    // deduplicated and the feed collapses to fewer (still ordered)
+    // chunks; the stateful consumer must stay correct, just with fewer
+    // micro-batches
+    val readings = (0 until 40).map { i =>
+      val t = if (i < 24) ts(1) else ts(10 + (i - 24))
+      SensorReading(i.toLong, i.toLong % 2, t, 1.0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("tied_feed_").toFile
+    val feed = WeatherStream.chunkedFileFeed(
+      readings.toDF("event_id", "user_id", "ts", "value"),
+      new java.io.File(dir, "src").getAbsolutePath)
+    val q = WeatherStream.rainDailyStream(feed).writeStream
+      .format("memory").queryName("tied_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2 && batches.length <= 4,
+        s"expected collapsed-but-multi batch replay, got ${batches.length}")
+      assert(batches.map(_.numInputRows).sum === 40)
+      val streamed = spark.table("tied_out").as[RainObs].collect()
+        .sortBy(_.event_id).map(o => (o.event_id, o.total_rain_mm)).toSeq
+      val batch = graft.operators.WeatherQueries.rainDaily(
+          readings.toDF("event_id", "user_id", "ts", "value"))
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("registered wx_rain_daily_stream is row-identical to batch wx_rain_daily") {
     // exact Row equality, doubles included — the BigDecimal state carries
     // the batch DECIMAL(25,6) semantics, so the shared oracle hash-matches
