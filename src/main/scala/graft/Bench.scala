@@ -40,10 +40,22 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // A query that throws is recorded as -1, never as a normal-looking
     // elapsed time (a failure must be distinguishable in the JSON).
+    //
+    // Action = noop SINK, not count(): under Aggregate(count(1)) Catalyst
+    // prunes unreferenced projections and windows and eliminates sorts,
+    // so count() timed a near-empty scan for scalar-projection and
+    // window-only queries (wx_*, *_funcs, win_lag_lead, ...). The noop
+    // sink consumes every output column of the real plan with zero
+    // write/driver cost. Methodology changed in round 5 — totals are NOT
+    // comparable to BENCH_r4 and earlier, which under-measured exactly
+    // those queries.
     def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
       catch { case _: Throwable => -1.0 }
     }
     val p1 = names.map(n => n -> run(n)).toMap

@@ -62,6 +62,13 @@ package object core {
     try body finally s.conf.set(key, prev)
   }
 
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Unique memory-sink name per invocation (Bench runs a query up to 3
+    * times in one session; memory sink names are session-global). */
+  def uniqueSinkName(prefix: String): String =
+    s"${prefix}_${sinkCounter.incrementAndGet()}"
+
   /** Collect modules into the SparkEntry maps. */
   def registry(modules: Seq[Seq[Q]]): (Map[String, QueryFn], Map[String, String]) = {
     val qs = modules.flatten

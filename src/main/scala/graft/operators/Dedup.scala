@@ -81,14 +81,22 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,
                         maxDocFrac: Double = 0.1): DataFrame = {
-    val all = shingleHashes(df, idCol, textCol, k)
+    // materialize the hashed-shingle frame once: it feeds three plan
+    // subtrees (doc count, hot-shingle census, anti-join input) whose
+    // exchanges don't reuse, so without this the corpus is tokenized and
+    // shingled three times per run (localCheckpoint — same iterative-plan
+    // hygiene as nearDupClusters; at extreme corpus sizes trade this
+    // materialization against recompute deliberately)
+    val all = shingleHashes(df, idCol, textCol, k).localCheckpoint(true)
     val nDocs = all.agg(countDistinct(col(idCol)).as("n_docs"))
     val hot = all.groupBy("s").agg(countDistinct(col(idCol)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") > greatest(col("n_docs") * maxDocFrac, lit(5.0)))
       .select("s")
+    // same again for the capped frame: per-doc sizes + BOTH self-join sides
     val sh = all.join(broadcast(hot), Seq("s"), "left_anti")
       .select(col(idCol), col("s"))
+      .localCheckpoint(true)
     val sz = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
     sh.toDF("d1", "s1")
       .join(sh.toDF("d2", "s2"), col("s1") === col("s2") && col("d1") < col("d2"))
@@ -109,7 +117,9 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numPerm: Int = 32, bands: Int = 8, k: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, k)
+    // one materialized shingle frame feeds the signature agg AND the
+    // verification tail (per-doc sizes + both intersection-join sides)
+    val sh = shingleHashes(df, idCol, textCol, k).localCheckpoint(true)
     val sig = sh.groupBy(idCol).agg(
       min(xxhash64(lit(0), col("s"))).as("m0"),
       (1 until numPerm).map(p => min(xxhash64(lit(p), col("s"))).as(s"m$p")): _*)
@@ -126,7 +136,7 @@ object Dedup {
                       numPerm: Int = 32, bands: Int = 8, k: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val sh = shingleHashes(df, idCol, textCol, k)
+    val sh = shingleHashes(df, idCol, textCol, k).localCheckpoint(true)
     val mh = udaf(new graft.functions.MinHashAggregator(numPerm), Encoders.scalaLong)
     val sig = sh.groupBy(idCol).agg(mh(col("s")).as("sig"))
       .select(col(idCol) +:

@@ -16,8 +16,6 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
-  /** Unique memory-sink names across repeated invocations. */
-  private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Shared prelude for the exact-Jaccard oracles. Mirrors
     * [[Dedup.ngramJaccardPairs]] exactly, INCLUDING the stop-shingle
@@ -101,7 +99,7 @@ object DedupQueries {
           .select(col("ts"), col("user_id"), col("event_type"))
         val input = WeatherStream.chunkedFileFeedDF(
           ev, "ts", WeatherStream.stagingDir("dedup_keys", dir))
-        val sinkName = s"dedup_keys_stream_${streamRunId.incrementAndGet()}"
+        val sinkName = uniqueSinkName("dedup_keys_stream")
         withShufflePartitions(s, 8) {
           val q = input.dropDuplicates("user_id", "event_type").writeStream
             .format("memory").queryName(sinkName).outputMode("append").start()

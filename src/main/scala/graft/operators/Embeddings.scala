@@ -38,19 +38,24 @@ object Embeddings {
       .withColumnRenamed("col", "u")
   }
 
+  /** Per-vector int8 scale: 127 / max|xᵢ|, 0 for the zero vector — the
+    * ONE spelling of the quantization contract, shared by [[quantizeI8]]
+    * and [[knnI8]] (and mirrored verbatim in their DuckDB oracles). */
+  private def i8Scale(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = maxAbs(v)
+    when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
+  }
+
   /** Int8 scalar quantization: per-vector scale = 127 / max|xᵢ|, elements
     * round(xᵢ·scale) half-away-from-zero into [-127, 127]. Exploded to
     * (id, scale, i, q) rows for the same oracle-ability reason as
     * [[normalize]]. Zero vectors get scale = 0 and all-zero codes. */
-  def quantizeI8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val m = maxAbs(col(vecCol))
-    val scale = when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
-    df.select(col(idCol), col(vecCol), scale.as("scale"))
+  def quantizeI8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol), i8Scale(col(vecCol)).as("scale"))
       .select(col(idCol), col("scale"),
         posexplode(quantize(col(vecCol), col("scale"))))
       .withColumnRenamed("pos", "i")
       .withColumnRenamed("col", "q")
-  }
 
   /** Exact top-k cosine over int8-QUANTIZED vectors — the memory-bound
     * ANN path at 100 TB (4× smaller vectors; the corpus side would be
@@ -62,11 +67,8 @@ object Embeddings {
     * Output contract matches [[Similarity.knn]]: (q_id, rank,
     * neighbor_id, cos). */
   def knnI8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    def qz(df: DataFrame, id: String, v: String): DataFrame = {
-      val m = maxAbs(col(v))
-      val scale = when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
-      df.select(col(id), quantize(col(v), scale).cast("array<double>").as(v))
-    }
+    def qz(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id), quantize(col(v), i8Scale(col(v))).cast("array<double>").as(v))
     // quantize both sides, then rank through Similarity.knnTopK — ONE
     // spelling of the bounded-buffer ranking contract (map-side partial
     // top-k ships k rows per (partition × query) into the shuffle instead

@@ -66,10 +66,15 @@ object MultimodalQueries {
     // string for substr on binary (same Spark expression).
     Q("mm_chunks",
       (s, dir) => Tables.documents(s, dir)
+        // guarded: Spark's sequence(0, -1) counts DOWN (same engine quirk
+        // as text_repetition), so zero-length payloads must short-circuit
+        // to an empty chunk list like the oracle's range(0, 0)
         .select(col("doc_id"), col("text"),
-          posexplode(expr(
-            """transform(sequence(0, cast(ceil(length(text)/256.0) as int) - 1),
-              |          i -> substr(text, i*256 + 1, 256))""".stripMargin)))
+          posexplode(when(length(col("text")) === 0,
+              array().cast("array<string>"))
+            .otherwise(expr(
+              """transform(sequence(0, cast(ceil(length(text)/256.0) as int) - 1),
+                |          i -> substr(text, i*256 + 1, 256))""".stripMargin))))
         .select(col("doc_id"), col("pos").as("chunk_idx"),
           length(col("col")).as("chunk_len"),
           md5(col("col").cast("binary")).as("chunk_md5"))

@@ -34,9 +34,6 @@ object WeatherQueries {
   private val AltitudeM = 5.0
   private val LatitudeDeg = 61.8989
 
-  /** Unique memory-sink names across repeated query invocations (Bench
-    * runs each query up to 3 times in one session). */
-  private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Shared by `wx_rain_daily` (batch windows) and `wx_rain_daily_stream`
     * (stateful streaming) — ONE oracle for both spellings. */
@@ -160,7 +157,7 @@ object WeatherQueries {
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         val input = WeatherStream.chunkedFileFeed(
           readings, WeatherStream.stagingDir("wx_rain", dir))
-        val sinkName = s"wx_rain_stream_${streamRunId.incrementAndGet()}"
+        val sinkName = uniqueSinkName("wx_rain_stream")
         withShufflePartitions(s, 8) {
           val q = WeatherStream.rainDailyStream(input).writeStream
             .format("memory").queryName(sinkName).outputMode("append").start()
@@ -225,25 +222,31 @@ object WeatherQueries {
       Some(wowRecordSql)),
   )
 
-  /** O9-O13 as windows over any (event_id, user_id, ts, value) frame —
-    * the reusable library form; equivalence with a sequential simulation of
-    * the reference state machine is pinned in RainStateMachineProps. */
-  def rainDaily(events: DataFrame): DataFrame = {
+  /** The O9-O13 window block — counter / day / day_start / prev_counter —
+    * ONE copy of the DECIMAL(25,6) accumulation and the (ts, event_id)
+    * tie-break (both load-bearing for oracle bit-identity), shared by
+    * [[rainDaily]] and the flagship [[wowRecordFrom]]. */
+  private def withRainWindows(df: DataFrame): DataFrame = {
     val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wDay = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    events
-      .withColumn("counter",
+    df.withColumn("counter",
         sum(col("value").cast(DecimalType(25, 6))).over(
           wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("day_start", first(col("counter")).over(wDay))
       .withColumn("prev_counter", lag(col("counter"), 1).over(wDay))
+  }
+
+  /** O9-O13 as windows over any (event_id, user_id, ts, value) frame —
+    * the reusable library form; equivalence with a sequential simulation of
+    * the reference state machine is pinned in RainStateMachineProps. */
+  def rainDaily(events: DataFrame): DataFrame =
+    withRainWindows(events)
       .select(col("event_id"), col("user_id"), col("day"),
         col("counter").cast("double").as("total_rain_mm"),
         (col("counter") - col("day_start")).cast("double").as("daily_rain_mm"),
         coalesce((col("counter") - col("prev_counter")) * lit(ObsFreq), lit(0.0))
           .cast("double").as("rain_rate_mmh"))
-  }
 
   /** The D4 12-field projection over any frame carrying (event_id, ts,
     * sensor channels, dailyrain_mm, rain_mmh) — shared by the batch
@@ -267,21 +270,11 @@ object WeatherQueries {
       lit("graft-spark-0.1").as("softwaretype"))
 
   /** Batch flagship over any (event_id, user_id, ts, value) frame. */
-  def wowRecordFrom(events: DataFrame): DataFrame = {
-    val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wDay = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    val base = sensors(events)
-      .withColumn("counter",
-        sum(col("value").cast(DecimalType(25, 6))).over(
-          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      .withColumn("day_start", first(col("counter")).over(wDay))
-      .withColumn("prev_counter", lag(col("counter"), 1).over(wDay))
+  def wowRecordFrom(events: DataFrame): DataFrame =
+    wowProjection(withRainWindows(sensors(events))
       .withColumn("dailyrain_mm", (col("counter") - col("day_start")).cast("double"))
       .withColumn("rain_mmh",
-        coalesce((col("counter") - col("prev_counter")) * lit(ObsFreq), lit(0.0)).cast("double"))
-    wowProjection(base)
-  }
+        coalesce((col("counter") - col("prev_counter")) * lit(ObsFreq), lit(0.0)).cast("double")))
 
   /** The flagship pipeline; also SparkEntry.entry. */
   def wowRecord(s: SparkSession, dir: String): DataFrame =

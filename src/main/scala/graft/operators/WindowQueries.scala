@@ -26,10 +26,6 @@ object WindowQueries {
 
   private val GapUs = 1800L * 1000000L // 30-minute session gap, microseconds
 
-  /** Unique memory-sink names across repeated invocations (Bench runs a
-    * query up to 3 times in one session). */
-  private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** Exact running sum over a window: DECIMAL accumulation, double result. */
   private def wsum(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
     sum(c.cast(DecimalType(25, 6))).over(w).cast("double")
@@ -239,22 +235,29 @@ object WindowQueries {
     // (graft.plans.AsofJoinPlan): one shuffle+sort per side, streamed
     // merge, no windowed row widening. Oracle: DuckDB's native ASOF JOIN
     // (inclusive <=, like this operator; join_asof above is the
-    // strictly-prior window formulation).
+    // strictly-prior window formulation). The right side is reduced to
+    // ONE row per (key, time) first — max click_id, "last write wins" —
+    // because neither AsofJoinExec nor DuckDB's ASOF JOIN defines which
+    // of several equal-time rows survives; the pre-aggregation makes the
+    // tie-break an explicit, engine-independent part of the query.
     Q("join_asof_custom",
       (s, dir) => {
         val events = Tables.events(s, dir)
         val purchases = events.filter(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts")
         val clicks = events.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+          .groupBy("user_id", "ts")
+          .agg(max(col("event_id")).as("click_id"))
         Asof.join(purchases, clicks, "user_id", "ts")
           .select(col("event_id"), col("user_id"),
                   unix_micros(col("ts")).as("ts_us"), col("r_click_id").as("click_id"))
           .orderBy("event_id")
       },
-      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.event_id AS click_id
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.click_id
              |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+             |                FROM events WHERE event_type = 'click'
+             |                GROUP BY 1, 2) c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
@@ -297,7 +300,7 @@ object WindowQueries {
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
           .select(unix_timestamp(col("window.start")).as("ws"),
             col("event_type"), col("n"), col("sum_value"))
-        val sinkName = s"win_tumbling_stream_${streamRunId.incrementAndGet()}"
+        val sinkName = uniqueSinkName("win_tumbling_stream")
         withShufflePartitions(s, 8) {
           val q = agg.writeStream
             .format("memory").queryName(sinkName).outputMode("append").start()
@@ -338,7 +341,7 @@ object WindowQueries {
             state.update((folded, n))
             (key, n, folded.toSeq.map(_._1), folded.toSeq.map(_._2))
           }
-        val sinkName = s"topk_stream_${streamRunId.incrementAndGet()}"
+        val sinkName = uniqueSinkName("topk_stream")
         withShufflePartitions(s, 8) {
           val q = updates.toDF("user_id", "n_seen", "scores", "ids")
             .writeStream.format("memory").queryName(sinkName)
@@ -387,7 +390,7 @@ object WindowQueries {
                 col("n"), col("sum_value"))
         .orderBy("user_id", "session_start_us"),
       Some(s"""WITH marked AS (
-              |  SELECT user_id, ts, value,
+              |  SELECT user_id, ts, event_id, value,
               |    CASE WHEN lag(ts) OVER w IS NULL
               |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${GapUs}
               |         THEN 1 ELSE 0 END AS brk
@@ -395,7 +398,7 @@ object WindowQueries {
               |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
               |), sess AS (
               |  SELECT user_id, ts, value,
-              |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+              |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
               |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
               |  FROM marked)
               |SELECT user_id, min(epoch_us(ts)) AS session_start_us,

@@ -44,6 +44,15 @@ object AsofJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Merge as-of join: for each left row, the LAST right row with
+  * rightTime <= leftTime within the key group.
+  *
+  * PRECONDITION: (rightKey, rightTime) should be unique on the right
+  * side. With equal-time right rows, "last" is whichever the (unstable)
+  * sort emits last — run-dependent, like DuckDB's ASOF JOIN on the same
+  * input. Callers that can see ties must reduce the right side to one
+  * row per (key, time) first with an explicit keeper (see
+  * join_asof_custom: max id, "last write wins"). */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression)

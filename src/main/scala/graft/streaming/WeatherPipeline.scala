@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.WeatherQueries
 import graft.streaming.WeatherStream.SensorReading
@@ -31,22 +30,11 @@ object WeatherPipeline {
     WeatherQueries.wowProjection(WeatherQueries.sensors(rain))
   }
 
-  /** Launch the full pipeline against a transport. */
+  /** Launch the full pipeline against a transport — the sink (and its
+    * O22 at-most-once error semantics) is WowSink.start, one spelling for
+    * both the standalone sink and the composed pipeline. */
   def start(readings: Dataset[SensorReading], transport: WowSink.Transport,
             trigger: Trigger = Trigger.ProcessingTime("15 minutes"),
-            queryName: String = "wow_pipeline"): StreamingQuery = {
-    val records = observationRecords(readings)
-    records.writeStream
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.toJSON.foreachPartition { part: Iterator[String] =>
-          if (!transport(part))
-            System.err.println(s"[WeatherPipeline] post failed for batch $batchId (dropped)")
-        }
-        ()
-      }
-      .start()
-  }
+            queryName: String = "wow_pipeline"): StreamingQuery =
+    WowSink.start(observationRecords(readings), transport, queryName, Some(trigger))
 }

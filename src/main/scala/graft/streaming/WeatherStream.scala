@@ -61,7 +61,15 @@ object WeatherStream {
   /** The reference state machine O8-O13, one micro-batch group at a time.
     * Rows are sorted within the batch (the store guarantees nothing about
     * iterator order); state carries across batches exactly like the
-    * reference's sheet carries across runs. */
+    * reference's sheet carries across runs.
+    *
+    * PRECONDITION: `value` >= 0 (a rain gauge's increments — the
+    * reference's register is monotone non-negative). The
+    * `totalRainLatest != 0` guard mirrors the reference's sheet cell
+    * semantics (:257-263), where 0 doubles as "no rain written today";
+    * a counter that could legitimately REACH zero mid-day (only possible
+    * with negative increments) would alias that sentinel and diverge
+    * from the batch window spelling. */
   private[streaming] def updateRain(
       userId: Long, rows: Iterator[SensorReading],
       state: GroupState[RainState]): Iterator[RainObs] = {

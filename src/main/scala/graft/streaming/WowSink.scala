@@ -37,12 +37,17 @@ object WowSink {
     def clear(): Unit = { sent.clear(); failures.clear() }
   }
 
-  /** Start publishing a streaming DataFrame of observation records. */
+  /** Start publishing a streaming DataFrame of observation records.
+    * `trigger` defaults to per-available-data; WeatherPipeline passes the
+    * reference's 15-minute cadence. */
   def start(records: DataFrame, transport: Transport,
-            queryName: String = "wow_sink"): StreamingQuery =
-    records.writeStream
+            queryName: String = "wow_sink",
+            trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val writer = records.writeStream
       .queryName(queryName)
       .outputMode("append")
+    trigger.foreach(writer.trigger)
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.toJSON.foreachPartition { part: Iterator[String] =>
           if (!transport(part)) {
@@ -54,4 +59,5 @@ object WowSink {
         ()
       }
       .start()
+  }
 }
