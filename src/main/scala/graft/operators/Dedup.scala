@@ -324,6 +324,91 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination: per corpus document, how much of it
+    * appears verbatim (as k-word shingles) in a held-out benchmark set —
+    * the standard guard against evaluation contamination in a training
+    * corpus (production runs use long shingles, e.g. k=13; the registered
+    * query uses the corpus-appropriate k=3).
+    *
+    * Output: (idCol, n_shingles, n_hits, contam_frac, contaminated) for
+    * every corpus document, including shingle-less ones (fewer than k
+    * words → 0/0/0.0/0).
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT shingle hashes
+    * — tens of MB even for large benchmark suites — and is broadcast, so
+    * the corpus is scanned ONCE with a map-side hash probe and the only
+    * shuffle is the per-doc count aggregation. No corpus self-join
+    * anywhere; a benchmark too big to broadcast degrades gracefully to a
+    * shuffle equi-join on the 8-byte hash. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3,
+                    flagFrac: Double = 0.5): DataFrame = {
+    val bench = shingleHashes(benchmark, idCol, textCol, k)
+      .select(col("s")).distinct()
+    val per = shingleHashes(corpus, idCol, textCol, k)
+      .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("s"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contam_frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_shingles")))
+      .withColumn("contaminated",
+        (col("n_shingles") > 0 &&
+          col("n_hits").cast("double") / col("n_shingles") >= flagFrac)
+          .cast("int"))
+  }
+
+  /** Incremental near-dup: flag documents in a NEW batch that are n-gram
+    * Jaccard near-dups of an EXISTING corpus — the daily-ingest shape.
+    * One row per duplicated batch doc: its best corpus match (highest
+    * jaccard, ties to the smallest corpus id).
+    *
+    * Scale shape: the corpus is never self-joined — candidates come from
+    * a batch-shingle ⋈ corpus-shingle equi-join, so cost is
+    * O(|batch shingles| + matched candidates) regardless of corpus size.
+    * At 100 TB the three corpus-side frames (hot-shingle census, hashed
+    * shingles bucketed by `s`, per-doc sizes) are precomputed ONCE and
+    * stored (bucketed parquet — ScaleSpec shows the exchange-free read);
+    * each arriving batch then pays only its own shingling plus the probe.
+    * The stop-shingle guard uses the CORPUS census (boilerplate is a
+    * corpus property; a batch can't be allowed to redefine it), applied
+    * to both sides so jaccard keeps the standard non-stop-shingle
+    * semantics of [[ngramJaccardPairs]]. */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String, k: Int = 3, threshold: Double = 0.5,
+                          maxDocFrac: Double = 0.1): DataFrame = {
+    val cs0 = shingleHashes(corpus, idCol, textCol, k).localCheckpoint(true)
+    val nDocs = cs0.agg(countDistinct(col(idCol)).as("n_docs"))
+    val hot = cs0.groupBy("s").agg(countDistinct(col(idCol)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(col("n_docs") * maxDocFrac, lit(5.0)))
+      .select("s")
+    val cs = cs0.join(broadcast(hot), Seq("s"), "left_anti")
+      .select(col(idCol), col("s")).localCheckpoint(true)
+    val bs = shingleHashes(batch, idCol, textCol, k)
+      .join(broadcast(hot), Seq("s"), "left_anti")
+      .select(col(idCol), col("s")).localCheckpoint(true)
+    val szc = cs.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val szb = bs.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val scored = bs.toDF("bid", "s")
+      .join(cs.toDF("cid", "s"), "s")
+      .groupBy("bid", "cid").agg(count(lit(1)).as("inter"))
+      .join(szb.toDF("bid", "n_batch"), "bid")
+      .join(szc.toDF("cid", "n_corpus"), "cid")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_batch") + col("n_corpus") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy("bid").orderBy(col("jaccard").desc, col("cid"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("bid").as(idCol), col("cid").as("dup_of"), col("inter"),
+        col("n_batch"), col("n_corpus"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked: every within-block pair is
     * exactly verified against `threshold` ((v1, v2, blockCols..., cos),
     * v1 < v2).

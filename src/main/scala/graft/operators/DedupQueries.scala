@@ -203,6 +203,94 @@ object DedupQueries {
         .orderBy("d1", "d2"),
       Some(simhashVerifySql)),
 
+    // Benchmark decontamination: per corpus doc, the fraction of its
+    // 3-word shingles that appear in a held-out "benchmark" slice (every
+    // 23rd doc). The benchmark side collapses to a broadcast set of
+    // shingle hashes — one corpus scan, one per-doc-count shuffle, no
+    // self-join (see Dedup.decontaminate for the 100 TB shape).
+    Q("docs_decontam",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.decontaminate(
+            docs.filter(col("doc_id") % 23 =!= 0),
+            docs.filter(col("doc_id") % 23 === 0), "doc_id", "text")
+          .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+            r6(col("contam_frac")).as("contam_frac"), col("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+             |  FROM w WHERE len(words) >= 3),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+             |per AS (
+             |  SELECT s.doc_id, count(*) AS n_shingles, count(b.shingle) AS n_hits
+             |  FROM sh s LEFT JOIN bench b USING (shingle)
+             |  WHERE s.doc_id % 23 <> 0
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(n_shingles, 0) AS n_shingles,
+             |  coalesce(n_hits, 0) AS n_hits,
+             |  round(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0
+             |             ELSE CAST(n_hits AS DOUBLE) / n_shingles END * 1e6) / 1e6
+             |    AS contam_frac,
+             |  CAST(CASE WHEN coalesce(n_shingles, 0) > 0
+             |             AND CAST(n_hits AS DOUBLE) / n_shingles >= 0.5
+             |        THEN 1 ELSE 0 END AS INT) AS contaminated
+             |FROM documents d LEFT JOIN per USING (doc_id)
+             |WHERE d.doc_id % 23 <> 0
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Incremental dedup: every 10th doc arrives as a "new batch" and is
+    // checked for near-dups against the remaining 90% "corpus" — the
+    // daily-ingest shape: batch⋈corpus shingle equi-join only, the corpus
+    // is never re-paired with itself (see Dedup.incrementalNearDups).
+    Q("dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incrementalNearDups(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+          .select(col("doc_id"), col("dup_of"), col("inter"),
+            col("n_batch"), col("n_corpus"), r6(col("jaccard")).as("jaccard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+             |  FROM documents),
+             |sh0 AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+             |  FROM w WHERE len(words) >= 3),
+             |cs0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM cs0),
+             |hot AS (
+             |  SELECT shingle FROM cs0 CROSS JOIN nd
+             |  GROUP BY shingle, n_docs
+             |  HAVING count(DISTINCT doc_id) > greatest(0.1 * n_docs, 5)),
+             |cs AS (SELECT * FROM cs0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+             |bs AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0
+             |       AND shingle NOT IN (SELECT shingle FROM hot)),
+             |szc AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY 1),
+             |szb AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY 1),
+             |p AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS inter
+             |      FROM bs b JOIN cs c ON b.shingle = c.shingle GROUP BY 1, 2),
+             |j AS (
+             |  SELECT bid, cid, inter, sb.n AS n_batch, sc.n AS n_corpus,
+             |         CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) AS jac
+             |  FROM p JOIN szb sb ON sb.doc_id = bid JOIN szc sc ON sc.doc_id = cid
+             |  WHERE CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) >= 0.5),
+             |r AS (
+             |  SELECT bid, cid, inter, n_batch, n_corpus, jac,
+             |         row_number() OVER (PARTITION BY bid ORDER BY jac DESC, cid) AS rn
+             |  FROM j)
+             |SELECT bid AS doc_id, cid AS dup_of, inter, n_batch, n_corpus,
+             |       round(jac * 1e6) / 1e6 AS jaccard
+             |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // Embedding-cosine near-dup, label-blocked (the blocking key stands in
     // for a coarse quantizer/IVF cell at scale — see Dedup.embedPairs for
     // the measured quadratic-in-block-size analysis and the knob).

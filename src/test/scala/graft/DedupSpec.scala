@@ -82,6 +82,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L), 4L -> (4L, 1L)))
   }
 
+  test("decontaminate: verbatim benchmark copy flagged, overlap counted, short docs 0") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // exact copy: frac 1.0
+      (2L, "alpha beta gamma nine ten eleven twelve"),  // shares 1 of 5 shingles
+      (3L, "one two three four five six"),              // disjoint: 0 hits
+      (4L, "too short")                                 // < 3 words: no shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(out(1L) === ((4L, 4L, 1.0, 1)))
+    assert(out(2L)._1 === 5L && out(2L)._2 === 1L && out(2L)._4 === 0)
+    assert(out(3L) === ((4L, 0L, 0.0, 0)))
+    assert(out(4L) === ((0L, 0L, 0.0, 0)))
+  }
+
+  test("incrementalNearDups: batch dup finds its best corpus match, unique doc absent") {
+    val corpus = Seq(
+      (1L, (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, ((1 to 19).map(i => s"a$i") :+ "x").mkString(" ")), // near-dup of 1
+      (11L, (1 to 20).map(i => s"z$i").mkString(" "))           // unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(10L -> 1L), s"unexpected incremental verdicts $out")
+  }
+
   test("exactDedup keeps exactly the earliest row per key") {
     val events = graft.sources.Tables.events(spark, SF)
     val deduped = Dedup.exactDedup(events, Seq("user_id", "event_type"),
