@@ -82,6 +82,57 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L), 4L -> (4L, 1L)))
   }
 
+  test("ngramJaccardPairs equals brute force on random corpora") {
+    // Independent driver-side reference mirroring the full semantics
+    // (3-shingles, stop-shingle cap, Jaccard over the capped space):
+    // same pairs, same counts. Seeded corpora with planted near-dups AND
+    // a hot boilerplate shingle exercising the cap. Implementation-
+    // independent — it pinned the (reverted) prefix-filter experiment
+    // too; see the SURVEY §7.3d lesson.
+    val rng = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 25).map(i => s"w$i")
+      val raw = (1L to 60L).map { id =>
+        val len = 3 + rng.nextInt(18)
+        id -> Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      }.toMap
+      val docs = raw.map { case (id, t) =>
+        if (id % 7 == 0) // near-dup of the previous doc: one word appended
+          id -> (raw(id - 1) + " w1")
+        else if (id % 11 == 0) // boilerplate tail shared by many docs
+          id -> (t + " end of document boilerplate line")
+        else id -> t
+      }.toSeq.sortBy(_._1)
+
+      // driver-side reference
+      def shingleSet(t: String): Set[String] = {
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.length < 3) Set.empty[String]
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets0 = docs.map { case (id, t) => id -> shingleSet(t) }
+        .filter(_._2.nonEmpty).toMap
+      val nDocs = sets0.size
+      val cap = math.max(0.1 * nDocs, 5.0)
+      val dfC = sets0.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+      val capped = sets0.map { case (id, s) => id -> s.filter(dfC(_) <= cap) }
+      val expected = (for {
+        (d1, s1) <- capped.toSeq; (d2, s2) <- capped.toSeq if d1 < d2
+        inter = (s1 & s2).size if inter > 0
+        j = inter.toDouble / (s1.size + s2.size - inter) if j >= 0.5
+      } yield (d1, d2) -> ((inter.toLong, s1.size.toLong, s2.size.toLong))).toMap
+
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got === expected,
+        s"trial $trial: missing ${expected.keySet -- got.keySet}, " +
+          s"extra ${got.keySet -- expected.keySet}, " +
+          s"diff ${got.filter { case (k, v) => expected.get(k).exists(_ != v) }}")
+    }
+  }
+
   test("decontaminate: verbatim benchmark copy flagged, overlap counted, short docs 0") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
