@@ -136,6 +136,46 @@ object TextQueries {
               |      FROM documents)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Unigram-surprise quality score (the perplexity-proxy curation
+    // signal, CCNet-style with the corpus as its own LM): per doc, the
+    // average -ln p(word) under the corpus unigram distribution. Extreme
+    // scores mark boilerplate (low) and garbage (high). Two-pass shape:
+    // fit the word census once, apply it back row-wise — census ⋈ words
+    // is a 1:N join Catalyst/AQE broadcasts while the vocabulary fits
+    // (typical even at large corpus sizes: vocab ≪ corpus); a
+    // web-garbage vocabulary too big to broadcast degrades to a shuffle
+    // join where AQE's skew split handles the stopword keys.
+    // Determinism: each occurrence's nll is r6'd (bit-identical ln and
+    // division), then summed EXACTLY via DECIMAL(25,6) — order-free.
+    Q("text_unigram_nll",
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val census = words.groupBy("w").agg(count(lit(1)).as("c"))
+        val total = census.agg(sum(col("c")).as("n"))
+        words.join(census, "w")
+          .crossJoin(broadcast(total))
+          .withColumn("nll", r6(-log(col("c").cast("double") / col("n"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), dsum(col("nll")).as("sum_nll"))
+          .withColumn("avg_nll", r6(col("sum_nll") / col("n_words")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+             |  FROM documents),
+             |census AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+             |tot AS (SELECT sum(c) AS n FROM census),
+             |sc AS (
+             |  SELECT doc_id, round(-ln(CAST(c AS DOUBLE) / n) * 1e6) / 1e6 AS nll
+             |  FROM words JOIN census USING (w) CROSS JOIN tot)
+             |SELECT doc_id, count(*) AS n_words,
+             |  CAST(sum(CAST(nll AS DECIMAL(25,6))) AS DOUBLE) AS sum_nll,
+             |  round(CAST(sum(CAST(nll AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 1e6) / 1e6
+             |    AS avg_nll
+             |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // Language ID: argmax over per-language marker-word hit counts.
     // Spark picks via greatest() over (score, lang) structs — ties break
     // toward the alphabetically-last language; the oracle's CASE chain

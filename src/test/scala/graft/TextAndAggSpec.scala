@@ -8,6 +8,26 @@ class TextAndAggSpec extends AnyFunSuite with SparkTestBase {
 
   import spark.implicits._
 
+  test("unigram NLL: repeated-boilerplate doc scores below a rare-word doc") {
+    // 8 copies of the same words make them corpus-frequent (low surprise);
+    // the singleton doc's words each occur once (max surprise).
+    val docs = ((1L to 8L).map(i => i -> "common words repeated in every doc")
+      :+ (9L -> "xylophone quasar obelisk zephyr marmoset")).toSeq.toDF("doc_id", "text")
+    val scored = {
+      val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val census = words.groupBy("w").agg(count(lit(1)).as("c"))
+      val total = census.agg(sum(col("c")).as("n"))
+      words.join(census, "w").crossJoin(broadcast(total))
+        .withColumn("nll", -log(col("c").cast("double") / col("n")))
+        .groupBy("doc_id").agg(avg(col("nll")).as("avg_nll"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(scored(1L) < scored(9L),
+      s"boilerplate ${scored(1L)} should score below rare-word ${scored(9L)}")
+    assert(scored(9L) === scored.values.max)
+  }
+
   test("language ID picks the right language on marker-bearing sentences") {
     val df = Seq(
       (1L, "the cat and the dog sat with that hat of mine", "?"),
