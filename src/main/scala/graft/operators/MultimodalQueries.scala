@@ -110,6 +110,44 @@ object MultimodalQueries {
              |      FROM documents)
              |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Resize: aspect-preserving fit into a 32x32 box over the stub
+    // decoder's (width, height) metadata, plus a 16-byte evenly-sampled
+    // payload "thumbnail" digest — the metadata/selection half of a real
+    // resize (deterministic, oracle-able); the pixel resample itself is
+    // the stubbed codec step, same contract as mm_decode. All per-row
+    // codegen'd expressions, shuffle-free scan.
+    Q("mm_resize",
+      (s, dir) => {
+        val n = length(col("text"))
+        val w = (when(n >= 1, ascii(substring(col("text"), 1, 1))).otherwise(lit(1)) % 64) + 1
+        val h = (when(n >= 2, ascii(substring(col("text"), 2, 1))).otherwise(lit(1)) % 64) + 1
+        val sc = least(lit(32.0) / w, lit(32.0) / h, lit(1.0))
+        val thumb = concat((0 until 16).map(i =>
+          col("text").substr((floor((lit(i) * n) / 16.0).cast("int") + 1), lit(1))): _*)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), w.as("width"), h.as("height"),
+            r6(sc).as("scale"),
+            greatest(floor(w * sc).cast("long"), lit(1L)).as("rw"),
+            greatest(floor(h * sc).cast("long"), lit(1L)).as("rh"),
+            md5(thumb.cast("binary")).as("thumb_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id, text,
+              |    (CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 1 END % 64) + 1 AS width,
+              |    (CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 1 END % 64) + 1 AS height
+              |  FROM documents),
+              |sc AS (
+              |  SELECT *, least(32.0 / width, 32.0 / height, 1.0) AS s FROM m)
+              |SELECT doc_id, width, height,
+              |  round(s * 1e6) / 1e6 AS scale,
+              |  greatest(CAST(floor(width * s) AS BIGINT), 1) AS rw,
+              |  greatest(CAST(floor(height * s) AS BIGINT), 1) AS rh,
+              |  md5(${(0 until 16).map(i =>
+                    s"substr(text, ($i * length(text)) // 16 + 1, 1)")
+                    .mkString(" || ")}) AS thumb_md5
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // Partition-wise decode → typed features (STUB decode, real plumbing).
     // The feature vector is flattened to scalar columns for output: the
     // driver's pandas-side hash compare cannot sort rows containing array
