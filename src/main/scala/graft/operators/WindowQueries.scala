@@ -30,6 +30,27 @@ object WindowQueries {
   private def wsum(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
     sum(c.cast(DecimalType(25, 6))).over(w).cast("double")
 
+  /** Gaps-and-islands session oracle — ONE spelling shared by the batch
+    * `win_session` and the streaming `win_session_stream` (streaming ≡
+    * batch ≡ DuckDB). */
+  private lazy val sessionSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${GapUs}
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id, ts, value,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM marked)
+       |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+       |  count(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM sess GROUP BY user_id, sid
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("win_rank",
       (s, dir) => {
@@ -389,22 +410,46 @@ object WindowQueries {
                 unix_micros(col("session_window.start")).as("session_start_us"),
                 col("n"), col("sum_value"))
         .orderBy("user_id", "session_start_us"),
-      Some(s"""WITH marked AS (
-              |  SELECT user_id, ts, event_id, value,
-              |    CASE WHEN lag(ts) OVER w IS NULL
-              |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${GapUs}
-              |         THEN 1 ELSE 0 END AS brk
-              |  FROM events
-              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-              |), sess AS (
-              |  SELECT user_id, ts, value,
-              |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-              |  FROM marked)
-              |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
-              |  count(*) AS n, ${dsumSql("value")} AS sum_value
-              |FROM sess GROUP BY user_id, sid
-              |ORDER BY user_id, session_start_us""".stripMargin)),
+      Some(sessionSql)),
+
+    // Session windows as a STREAMING query over the chunked file feed —
+    // the hardest windowing case: session state must MERGE across
+    // micro-batches (a session that starts in chunk 2 and continues in
+    // chunk 3 is one window). Shares win_session's gaps-and-islands
+    // oracle — the fifth streaming ≡ batch ≡ DuckDB fact. Same
+    // watermark-closing sentinel trick as win_tumbling_stream: append
+    // mode only emits closed sessions, so a far-future row rides in the
+    // last chunk; its own session never closes and is filtered out.
+    Q("win_session_stream",
+      (s, dir) => {
+        import graft.streaming.WeatherStream
+        val ev = Tables.events(s, dir).select(col("ts"), col("user_id"), col("value"))
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        val sentinel = s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000),
+            -1L, 0.0)),
+          ev.schema)
+        val input = WeatherStream.chunkedFileFeedDF(
+          ev.union(sentinel), "ts", WeatherStream.stagingDir("win_session", dir))
+        val agg = input
+          .withWatermark("ts", "2 hours")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            col("n"), col("sum_value"))
+        val sinkName = uniqueSinkName("win_session_stream")
+        withShufflePartitions(s, 8) {
+          val q = agg.writeStream
+            .format("memory").queryName(sinkName).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(sinkName)
+          .filter(col("user_id") =!= -1L)
+          .orderBy("user_id", "session_start_us")
+      },
+      Some(sessionSql)),
 
     // Time-series resample + gap-fill: per-key hourly grid (sequence over
     // the key's observed span), left-join observed aggregates, forward-
