@@ -333,6 +333,81 @@ object WindowQueries {
               |  count(*) AS n, ${dsumSql("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // STREAM-STREAM inner join: purchase stream ⋈ click stream on user
+    // with an event-time range (click within the hour before the
+    // purchase), watermarks on BOTH sides bounding the join state. The
+    // final match set is deterministic — exactly the batch range join —
+    // because state for a row is only dropped once the GLOBAL watermark
+    // (min over both chunked feeds, which advance in step) passes its
+    // 1-hour window, by which time every partner row has arrived. Sixth
+    // streaming ≡ batch ≡ DuckDB fact; covers the streaming-joins family.
+    Q("join_stream_stream",
+      (s, dir) => {
+        import graft.streaming.WeatherStream
+        val ev = Tables.events(s, dir)
+        val p = WeatherStream.chunkedFileFeedDF(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts")),
+          "p_ts", WeatherStream.stagingDir("ss_purchase", dir))
+        val c = WeatherStream.chunkedFileFeedDF(
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts")),
+          "c_ts", WeatherStream.stagingDir("ss_click", dir))
+        val joined = p.withWatermark("p_ts", "2 hours")
+          .join(c.withWatermark("c_ts", "2 hours"),
+            expr("user_id = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
+          .select(col("p_id"), col("user_id"),
+            unix_micros(col("p_ts")).as("p_ts_us"),
+            col("c_id"), unix_micros(col("c_ts")).as("c_ts_us"))
+        val sinkName = uniqueSinkName("join_stream_stream")
+        withShufflePartitions(s, 8) {
+          val q = joined.writeStream
+            .format("memory").queryName(sinkName).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(sinkName).orderBy("p_id", "c_id")
+      },
+      Some("""SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
+             |  c.event_id AS c_id, epoch_us(c.ts) AS c_ts_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |ORDER BY p_id, c_id""".stripMargin)),
+
+    // STREAM-STATIC enrichment join: the event stream joined per
+    // micro-batch against a precomputed (static, broadcast) reference
+    // frame — the standard dimension-enrichment shape. Stateless
+    // (append passthrough, no watermark); the static side is built once
+    // from the batch table, exactly what a 100 TB deployment does with a
+    // published dim snapshot.
+    Q("join_stream_static",
+      (s, dir) => {
+        import graft.streaming.WeatherStream
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val dim = ev.groupBy("event_type").agg(davg(col("value")).as("type_avg"))
+        val input = WeatherStream.chunkedFileFeedDF(
+          ev, "ts", WeatherStream.stagingDir("ss_enrich", dir))
+        val joined = input.join(broadcast(dim), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            r6(col("type_avg")).as("type_avg"))
+        val sinkName = uniqueSinkName("join_stream_static")
+        withShufflePartitions(s, 8) {
+          val q = joined.writeStream
+            .format("memory").queryName(sinkName).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        s.table(sinkName).orderBy("event_id")
+      },
+      Some(s"""SELECT e.event_id, e.event_type, e.value,
+              |  round(d.type_avg * 1e6) / 1e6 AS type_avg
+              |FROM events e
+              |JOIN (SELECT event_type, ${davgSql("value")} AS type_avg
+              |      FROM events GROUP BY 1) d USING (event_type)
+              |ORDER BY e.event_id""".stripMargin)),
+
     // Running top-k per key over a STREAM (mapGroupsWithState, state =
     // the same bounded TopKAggregator buffer batch ranking uses — O(k)
     // per key forever, no watermark needed: all-history top-k is
