@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.expressions.{CharGramHash, ShingleHash, VecCosine, VecDiv, VecDot, VecMaxAbs, VecQuantize}
+import graft.expressions.{CharGramHash, ShingleHash, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
 import graft.plans.AsofJoinStrategy
 
 /** Production registration path: build the session with
@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("vec_dot", es => VecDot(es(0), es(1))))
     ext.injectFunction(fn("vec_cosine", es => VecCosine(es(0), es(1))))
+    ext.injectFunction(fn("vec_distsq", es => VecDistSq(es(0), es(1))))
     ext.injectFunction(fn("vec_max_abs", es => VecMaxAbs(es(0)), arity = 1))
     ext.injectFunction(fn("vec_div", es => VecDiv(es(0), es(1))))
     ext.injectFunction(fn("vec_quantize", es => VecQuantize(es(0), es(1))))

@@ -293,3 +293,46 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryOp {
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Σ (aᵢ−bᵢ)² over the common prefix, accumulated left-to-right in
+  * double — the squared-L2 distance for k-means assignment. The fold
+  * order matches DuckDB's `list_sum(list_transform(...))` exactly, so
+  * distances (and therefore cluster assignments) are cross-engine
+  * bit-identical. */
+case class VecDistSq(left: Expression, right: Expression) extends VecBinaryOp {
+  override def prettyName: String = "vec_distsq"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = read(left, a, i) - read(right, b, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double)$a.${elemGetter(left)}($i) - (double)$b.${elemGetter(right)}($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

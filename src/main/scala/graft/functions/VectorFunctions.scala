@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expressions.{VecCosine, VecDiv, VecDot, VecMaxAbs, VecQuantize}
+import graft.expressions.{VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
 
 /** Vector math over `array<float>`/`array<double>` embedding columns
   * (NS mandate: similarity search).
@@ -26,6 +26,9 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column = expr2(VecDot)(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Σ (aᵢ−bᵢ)² in double precision (squared L2 distance). */
+  def distSq(a: Column, b: Column): Column = expr2(VecDistSq)(a, b)
 
   /** Cosine similarity; 0.0 for zero-norm inputs (rather than NaN) so
     * downstream top-k ordering stays total. */

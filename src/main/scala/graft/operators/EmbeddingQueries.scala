@@ -15,6 +15,54 @@ import graft.sources.Tables
 object EmbeddingQueries {
 
   private val K = 5
+  private val KmK = 8      // k-means clusters
+  private val KmIters = 2  // unrolled Lloyd iterations (oracle size ∝ iters)
+  private val Dim = 64     // embeddings table vector width
+
+  /** DuckDB twin of [[graft.expressions.VecDistSq]] — same left-to-right
+    * fold over (aᵢ−bᵢ)², so distances are bit-identical. */
+  private def distSqSql(v: String, c: String): String =
+    s"""list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])))""".stripMargin
+
+  /** Generated unrolled-iteration twin of [[Embeddings.kmeans]]: c0 =
+    * smallest-id seeds, then per iteration an assignment CTE (argmin by
+    * (dist, j) row_number) and a centroid-update CTE (DECIMAL(25,6)
+    * per-dimension means, empty clusters keep their centroid). */
+  private lazy val kmeansOracle: String = {
+    val b = new StringBuilder
+    b ++= s"""WITH c0 AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+             |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KmK))""".stripMargin
+    for (t <- 1 to KmIters) b ++= s""",
+             |a$t AS (
+             |  SELECT vec_id, embedding, j FROM (
+             |    SELECT e.vec_id, e.embedding, c.j,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${distSqSql("e.embedding", "c.c")}, c.j) AS rn
+             |    FROM embeddings e CROSS JOIN c${t - 1} c) WHERE rn = 1),
+             |c$t AS (
+             |  SELECT p.j, coalesce(u.c, p.c) AS c FROM c${t - 1} p LEFT JOIN (
+             |    SELECT j, list(v ORDER BY i) AS c FROM (
+             |      SELECT a.j, i,
+             |        CAST(sum(CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS v
+             |      FROM a$t a CROSS JOIN range(1, ${Dim + 1}) t(i)
+             |      GROUP BY a.j, i) GROUP BY j) u ON u.j = p.j)""".stripMargin
+    b ++= s""",
+             |fin AS (
+             |  SELECT vec_id, j, d FROM (
+             |    SELECT e.vec_id, c.j, ${distSqSql("e.embedding", "c.c")} AS d,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${distSqSql("e.embedding", "c.c")}, c.j) AS rn
+             |    FROM embeddings e CROSS JOIN c$KmIters c) WHERE rn = 1)
+             |SELECT f.vec_id, f.j AS cluster, s.cluster_size,
+             |  round(f.d * 1e6) / 1e6 AS dist_sq
+             |FROM fin f JOIN (SELECT j, count(*) AS cluster_size FROM fin GROUP BY 1) s
+             |  ON s.j = f.j
+             |ORDER BY f.vec_id""".stripMargin
+    b.toString
+  }
 
   /** DuckDB twin of [[graft.expressions.VecMaxAbs]] (order-independent
     * max, exact both engines). */
@@ -109,5 +157,19 @@ object EmbeddingQueries {
           .orderBy("q_id", "rank")
       },
       Some(knnI8Oracle)),
+
+    // Deterministic Lloyd k-means (seed = smallest ids, tie-broken
+    // argmin, DECIMAL centroid means) — every iteration reproduced in
+    // DuckDB via the generated unrolled CTE chain, so cluster
+    // assignments AND distances hash-match cross-engine.
+    Q("emb_kmeans",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        Embeddings.kmeans(e, "vec_id", "embedding", KmK, KmIters)
+          .select(col("vec_id"), col("cluster"), col("cluster_size"),
+            r6(col("dist_sq")).as("dist_sq"))
+          .orderBy("vec_id")
+      },
+      Some(kmeansOracle)),
   )
 }

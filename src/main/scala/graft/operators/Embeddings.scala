@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.dsum
 import graft.functions.VectorFunctions._
 
 /** Embedding-column preparation operators (NS mandate: similarity search /
@@ -77,5 +78,58 @@ object Embeddings {
     Similarity.knnTopK(
       qz(corpus.toDF("neighbor_id", "c_emb"), "neighbor_id", "c_emb"),
       qz(queries.toDF("q_id", "q_emb"), "q_id", "q_emb"), k)
+  }
+
+  /** Deterministic Lloyd k-means over an embedding column — the corpus
+    * clustering step behind semantic dedup blocks, topic balancing, and
+    * IVF coarse quantizers. Output: (idCol, cluster, cluster_size,
+    * dist_sq) under the final centroids.
+    *
+    * Fully deterministic, hence cross-engine oracle-checkable:
+    *  - seed = the k vectors with the smallest ids (no RNG);
+    *  - assignment = argmin squared-L2 via the codegen'd
+    *    [[graft.expressions.VecDistSq]] (left-to-right fold ≡ DuckDB
+    *    list_sum), ties to the smallest cluster index;
+    *  - update = per-dimension mean through exact DECIMAL(25,6)
+    *    accumulation (order-free), empty clusters keep their centroid.
+    *
+    * Scale shape: the assignment pass is scan → per-row math against k
+    * BROADCAST centroid literals (no shuffle, no join); each update is
+    * one k·dim-cell aggregation — the only driver traffic is the k×dim
+    * centroid matrix per iteration, the same offline-fit contract as
+    * [[Similarity.ivfKnn]]. Iterations are a fixed budget, not
+    * convergence-tested: at 100 TB you run a few Lloyd rounds on a
+    * sample and freeze the codebook. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    val src = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .localCheckpoint(true) // feeds iters+1 assignment passes
+    var cents: Array[Array[Double]] = src.orderBy(idCol).limit(k)
+      .select(vecCol).collect().map(_.getSeq[Double](0).toArray)
+    def assign(): DataFrame = {
+      val scored = cents.zipWithIndex.map { case (c, j) =>
+        struct(distSq(col(vecCol), array(c.map(lit): _*)).as("d"),
+          lit(j).as("j"))
+      }
+      src.withColumn("__best", array_min(array(scored: _*)))
+        .select(col(idCol), col(vecCol),
+          col("__best.j").as("cluster"), col("__best.d").as("dist_sq"))
+    }
+    for (_ <- 1 to iters) {
+      val sums = assign()
+        .select(col("cluster"), posexplode(col(vecCol)))
+        .groupBy("cluster", "pos")
+        .agg(dsum(col("col")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone)
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    val fin = assign().drop(vecCol)
+    val sizes = fin.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    fin.join(sizes, "cluster")
+      .select(col(idCol), col("cluster"), col("cluster_size"), col("dist_sq"))
   }
 }

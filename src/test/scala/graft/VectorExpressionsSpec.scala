@@ -32,12 +32,13 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
   private def interp(e: org.apache.spark.sql.catalyst.expressions.Expression): Any =
     e.eval(null)
 
-  test("interpreted eval == codegen for dot / cosine / maxAbs / div / quantize") {
+  test("interpreted eval == codegen for dot / cosine / distSq / maxAbs / div / quantize") {
     val df = Seq((vecs(0), vecs(1))).toDF("a", "b")
     // codegen path (whole-stage codegen on a DataFrame select)
     val row = df.select(
       dot(col("a"), col("b")).as("d"),
       cosine(col("a"), col("b")).as("c"),
+      distSq(col("a"), col("b")).as("ds"),
       maxAbs(col("a")).as("m"),
       vecDiv(col("a"), lit(2.0)).as("dv"),
       quantize(col("a"), lit(2.0)).as("qz")).head()
@@ -45,10 +46,11 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
     val (a, b) = (litF(vecs(0)), litF(vecs(1)))
     assert(row.getDouble(0) === interp(VecDot(a, b)))
     assert(row.getDouble(1) === interp(VecCosine(a, b)))
-    assert(row.getDouble(2) === interp(VecMaxAbs(a)))
-    assert(row.getSeq[Double](3) ===
+    assert(row.getDouble(2) === interp(VecDistSq(a, b)))
+    assert(row.getDouble(3) === interp(VecMaxAbs(a)))
+    assert(row.getSeq[Double](4) ===
       interp(VecDiv(a, Literal(2.0))).asInstanceOf[ArrayData].toDoubleArray.toSeq)
-    assert(row.getSeq[Int](4) ===
+    assert(row.getSeq[Int](5) ===
       interp(VecQuantize(a, Literal(2.0))).asInstanceOf[ArrayData].toIntArray.toSeq)
   }
 
