@@ -27,7 +27,11 @@ object ExplainAudit {
     "ts_gapfill",       // grid generate + left join + one window sort
     "wx_wow_record",    // flagship: windows + scalar derivations fused
     "emb_normalize",    // scan -> per-row codegen'd vector math, no shuffle
-    "sim_knn_i8")       // quantize + broadcast + codegen'd integer cosine
+    "sim_knn_i8",       // quantize + broadcast + codegen'd integer cosine
+    "docs_decontam",    // benchmark shingle set broadcast, no self-join
+    "dedup_incremental",// batch->corpus probe + WindowGroupLimit top-1
+    "text_unigram_nll", // census fit + broadcast apply-back + decimal sum
+    "emb_kmeans")       // final-assignment pass: scan vs centroid literals
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
