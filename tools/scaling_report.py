@@ -23,6 +23,13 @@ EXPECTED_SUPERLINEAR = {
     "join_cross",
 }
 
+# Queries whose sf1 wall is dominated by the mandatory total-order output
+# sort (n log n over wide rows). The sort exists ONLY for the oracle's
+# deterministic hash-compare contract (SURVEY 7.3) — a production caller
+# would not sort — so a ratio mildly above the data factor is the
+# n log n term, not a scale defect in the operator itself.
+EXPECTED_SORT_BOUND = {"math_funcs", "project_derive", "sort_multi"}
+
 
 def main() -> None:
     a_path, b_path = sys.argv[1], sys.argv[2]
@@ -43,9 +50,13 @@ def main() -> None:
         # them are meaningless (fixed costs mask the data term)
         ratio = round(tb / ta, 2) if ta >= 0.1 else None
         note = ""
-        if ratio is not None and ratio > factor * 1.5:
-            note = ("superlinear (expected: both join sides scale)"
-                    if name in EXPECTED_SUPERLINEAR else "SUPERLINEAR")
+        if ratio is not None and ratio > factor:
+            if name in EXPECTED_SUPERLINEAR:
+                note = "superlinear (expected: both join sides scale)"
+            elif name in EXPECTED_SORT_BOUND and ratio <= factor * 1.5:
+                note = "n log n (oracle's total-order output sort, not the operator)"
+            elif ratio > factor * 1.5:
+                note = "SUPERLINEAR"
         rows.append({"query": name, "t_small": ta, "t_big": tb,
                      "ratio": ratio, "note": note})
     out = {
