@@ -102,7 +102,10 @@ object Embeddings {
     * sample and freeze the codebook. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int): DataFrame = {
-    val src = df.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    // null vectors carry no position: excluded up front (they would
+    // otherwise seed a null centroid or take an arbitrary argmin).
+    val src = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .localCheckpoint(true) // feeds iters+1 assignment passes
     var cents: Array[Array[Double]] = src.orderBy(idCol).limit(k)
       .select(vecCol).collect().map(_.getSeq[Double](0).toArray)

@@ -164,6 +164,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Map(10L -> 1L), s"unexpected incremental verdicts $out")
   }
 
+  test("null/empty text degrades totally: no crashes, sane memberships") {
+    // The driver corpus has no nulls, so the oracles never exercise
+    // them — pin the library contract here: null/short text docs simply
+    // have no shingles (dropped from pair generation, zero-count rows in
+    // total outputs), and null vectors are excluded from clustering.
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, null.asInstanceOf[String]), (3L, "")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count() === 0L)
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").count() === 0L)
+    val dec = Dedup.decontaminate(docs, docs.limit(1), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(4))).toMap
+    assert(dec.keySet === Set(1L, 2L, 3L), "decontam output must stay total")
+    assert(dec(2L) === ((0L, 0)) && dec(3L) === ((0L, 0)))
+    val emb = Seq((1L, Array(1.0f, 2.0f)), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(1.1f, 2.1f))).toDF("vec_id", "embedding")
+    val km = graft.operators.Embeddings.kmeans(emb, "vec_id", "embedding", 1, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(km === Set(1L, 3L), "null vectors must be excluded from clustering")
+  }
+
   test("exactDedup keeps exactly the earliest row per key") {
     val events = graft.sources.Tables.events(spark, SF)
     val deduped = Dedup.exactDedup(events, Seq("user_id", "event_type"),
