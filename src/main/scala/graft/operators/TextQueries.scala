@@ -136,6 +136,40 @@ object TextQueries {
               |      FROM documents)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Data-mixing accounting: per-source token mass, natural share, and
+    // the per-source sampling rate that flattens the corpus to a uniform
+    // source mixture (rate = min(1, target_share / natural_share) —
+    // overrepresented sources downsample, underrepresented stay whole;
+    // feed the rates into sample_stratified to execute the mixture).
+    // One shuffle on source + a broadcast totals row.
+    Q("docs_mixture",
+      (s, dir) => {
+        val nTok = size(filter(split(col("text"), " "), w => w =!= ""))
+        val t = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(nTok.cast("long")).as("n_tokens"))
+        val tot = t.agg(sum(col("n_tokens")).as("all_tokens"),
+          count(lit(1)).as("n_sources"))
+        t.crossJoin(broadcast(tot))
+          .withColumn("share", col("n_tokens").cast("double") / col("all_tokens"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            r6(col("share")).as("natural_share"),
+            r6(least(lit(1.0), (lit(1.0) / col("n_sources")) / col("share")))
+              .as("sample_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens,
+             |               count(*) AS n_sources FROM t)
+             |SELECT source, n_docs, n_tokens,
+             |  round(CAST(n_tokens AS DOUBLE) / all_tokens * 1e6) / 1e6 AS natural_share,
+             |  round(least(1.0, (1.0 / n_sources)
+             |    / (CAST(n_tokens AS DOUBLE) / all_tokens)) * 1e6) / 1e6 AS sample_rate
+             |FROM t CROSS JOIN tot ORDER BY source""".stripMargin)),
+
     // Unigram-surprise quality score (the perplexity-proxy curation
     // signal, CCNet-style with the corpus as its own LM): per doc, the
     // average -ln p(word) under the corpus unigram distribution. Extreme
