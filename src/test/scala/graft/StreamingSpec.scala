@@ -116,6 +116,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session windows MERGE a session that spans micro-batches") {
+    import org.apache.spark.sql.functions._
+    // Fillers at hours 0..15; user 7's two events 10 minutes apart around
+    // hour 8 — inside ONE 30-minute-gap session, but placed to straddle a
+    // chunk quantile boundary so they arrive in different micro-batches.
+    // The test asserts the straddle actually happened (from the staged
+    // chunk files), then that streaming still emits ONE merged session.
+    val base = ts(0).getTime
+    def at(mins: Long) = new Timestamp(base + mins * 60000L)
+    val fillers = (0 until 16).map(h => (100L + h, 0L, at(h * 60L), 1.0))
+    val pair = Seq((1L, 7L, at(8 * 60L - 5), 1.0), (2L, 7L, at(8 * 60L + 5), 1.0))
+    val ev = (fillers ++ pair).toDF("event_id", "user_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("session_merge_").toFile
+    val staging = new java.io.File(dir, "src").getAbsolutePath
+    val sentinel = Seq((99L, -1L, at(14L * 24 * 60), 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val input = WeatherStream.chunkedFileFeedDF(
+      ev.union(sentinel), "ts", staging)
+    // the staged write partitions by chunk — recover each row's chunk id
+    val chunkOf = spark.read.parquet(staging)
+      .select("event_id", "chunk").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunkOf(1L) !== chunkOf(2L),
+      s"test setup: the session pair must straddle a chunk boundary, got $chunkOf")
+    val agg = input
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("session_merge_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val sessions = spark.table("session_merge_out")
+      .filter(col("user_id") === 7L).collect()
+    assert(sessions.length === 1,
+      s"cross-batch session must merge into one window: ${sessions.toSeq}")
+    assert(sessions.head.getLong(2) === 2L)
+    assert(sessions.head.getTimestamp(1) === at(8 * 60L - 5))
+  }
+
   test("chunkedFileFeed degrades gracefully on heavily-tied event times") {
     // >25% of rows share one timestamp -> duplicate quantile bounds are
     // deduplicated and the feed collapses to fewer (still ordered)
