@@ -156,6 +156,51 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(sessions.head.getTimestamp(1) === at(8 * 60L - 5))
   }
 
+  test("stream-stream join matches partners that arrive in different micro-batches") {
+    import org.apache.spark.sql.functions._
+    // Each feed replays one chunk file per micro-batch, so a click in
+    // chunk k only meets a purchase in chunk k' > k if the click's join
+    // state survives k' - k batches. Plant exactly that: user 7's click
+    // just before the chunk boundary, its matching purchase (30 minutes
+    // later, within the 1-hour join window) just after — then assert
+    // from the staged files that their chunk indices really differ, and
+    // that the streamed join still finds the pair.
+    val base = ts(0).getTime
+    def at(mins: Long) = new Timestamp(base + mins * 60000L)
+    val clicks = ((0 until 16).map(h => (100L + h, 0L, at(h * 60L)))
+      :+ ((1L, 7L, at(4 * 60L - 5)))).toDF("c_id", "c_user", "c_ts")
+    val purchases = ((0 until 16).map(h => (200L + h, 0L, at(h * 60L + 30)))
+      :+ ((2L, 7L, at(4 * 60L + 40)))).toDF("p_id", "user_id", "p_ts")
+    val dir = java.nio.file.Files.createTempDirectory("ssjoin_").toFile
+    val cStage = new java.io.File(dir, "clicks").getAbsolutePath
+    val pStage = new java.io.File(dir, "purchases").getAbsolutePath
+    val cFeed = WeatherStream.chunkedFileFeedDF(clicks, "c_ts", cStage)
+    val pFeed = WeatherStream.chunkedFileFeedDF(purchases, "p_ts", pStage)
+    val cChunk = spark.read.parquet(cStage).filter(col("c_id") === 1L)
+      .select("chunk").head().getInt(0)
+    val pChunk = spark.read.parquet(pStage).filter(col("p_id") === 2L)
+      .select("chunk").head().getInt(0)
+    assert(cChunk !== pChunk,
+      s"test setup: partners must arrive in different batches (click chunk $cChunk, purchase chunk $pChunk)")
+    val joined = pFeed.withWatermark("p_ts", "2 hours")
+      .join(cFeed.withWatermark("c_ts", "2 hours"),
+        expr("user_id = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
+      .select(col("p_id"), col("c_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val pairs = spark.table("ssjoin_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1L)),
+      s"cross-batch partners must match; got ${pairs.filter(_._1 == 2L)}")
+    // and the full streamed set equals the batch join on the same data
+    val batch = purchases.join(clicks,
+        expr("user_id = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
+      .select(col("p_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === batch)
+  }
+
   test("chunkedFileFeed degrades gracefully on heavily-tied event times") {
     // >25% of rows share one timestamp -> duplicate quantile bounds are
     // deduplicated and the feed collapses to fewer (still ordered)
