@@ -99,13 +99,12 @@ object DedupQueries {
           .select(col("ts"), col("user_id"), col("event_type"))
         val input = WeatherStream.chunkedFileFeedDF(
           ev, "ts", WeatherStream.stagingDir("dedup_keys", dir))
-        val sinkName = uniqueSinkName("dedup_keys_stream")
+        // parquet-sink drain: the distinct-key set is O(key cardinality),
+        // unbounded at scale — keep it off the driver
         withShufflePartitions(s, 8) {
-          val q = input.dropDuplicates("user_id", "event_type").writeStream
-            .format("memory").queryName(sinkName).outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
+          WeatherStream.drainToParquet(
+            input.dropDuplicates("user_id", "event_type"), "dedup_keys_stream")
         }
-        s.table(sinkName)
           .select(col("user_id"), col("event_type"))
           .orderBy("user_id", "event_type")
       },

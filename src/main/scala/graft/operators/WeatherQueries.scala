@@ -157,13 +157,12 @@ object WeatherQueries {
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         val input = WeatherStream.chunkedFileFeed(
           readings, WeatherStream.stagingDir("wx_rain", dir))
-        val sinkName = uniqueSinkName("wx_rain_stream")
+        // parquet-sink drain: output is O(input) (one obs per event), so
+        // a driver-resident memory sink would cap it at driver heap
         withShufflePartitions(s, 8) {
-          val q = WeatherStream.rainDailyStream(input).writeStream
-            .format("memory").queryName(sinkName).outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
+          WeatherStream.drainToParquet(
+            WeatherStream.rainDailyStream(input).toDF(), "wx_rain_stream")
         }
-        s.table(sinkName)
           .select(col("event_id"), col("user_id"), col("day"),
             col("total_rain_mm"), col("daily_rain_mm"), col("rain_rate_mmh"))
           .orderBy("event_id")

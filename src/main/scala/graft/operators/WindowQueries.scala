@@ -321,13 +321,11 @@ object WindowQueries {
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
           .select(unix_timestamp(col("window.start")).as("ws"),
             col("event_type"), col("n"), col("sum_value"))
-        val sinkName = uniqueSinkName("win_tumbling_stream")
+        // parquet-sink drain: window count grows with the time range —
+        // executor-side output, nothing driver-resident
         withShufflePartitions(s, 8) {
-          val q = agg.writeStream
-            .format("memory").queryName(sinkName).outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
-        }
-        s.table(sinkName).orderBy("ws", "event_type")
+          graft.streaming.WeatherStream.drainToParquet(agg, "win_tumbling_stream")
+        }.orderBy("ws", "event_type")
       },
       Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
               |  count(*) AS n, ${dsumSql("value")} AS sum_value
@@ -360,13 +358,10 @@ object WindowQueries {
           .select(col("p_id"), col("user_id"),
             unix_micros(col("p_ts")).as("p_ts_us"),
             col("c_id"), unix_micros(col("c_ts")).as("c_ts_us"))
-        val sinkName = uniqueSinkName("join_stream_stream")
+        // parquet-sink drain: the match set is O(input) at scale
         withShufflePartitions(s, 8) {
-          val q = joined.writeStream
-            .format("memory").queryName(sinkName).outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
-        }
-        s.table(sinkName).orderBy("p_id", "c_id")
+          graft.streaming.WeatherStream.drainToParquet(joined, "join_stream_stream")
+        }.orderBy("p_id", "c_id")
       },
       Some("""SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
              |  c.event_id AS c_id, epoch_us(c.ts) AS c_ts_us
@@ -393,13 +388,10 @@ object WindowQueries {
         val joined = input.join(broadcast(dim), "event_type")
           .select(col("event_id"), col("event_type"), col("value"),
             r6(col("type_avg")).as("type_avg"))
-        val sinkName = uniqueSinkName("join_stream_static")
+        // parquet-sink drain: one output row per input event — O(input)
         withShufflePartitions(s, 8) {
-          val q = joined.writeStream
-            .format("memory").queryName(sinkName).outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
-        }
-        s.table(sinkName).orderBy("event_id")
+          graft.streaming.WeatherStream.drainToParquet(joined, "join_stream_static")
+        }.orderBy("event_id")
       },
       Some(s"""SELECT e.event_id, e.event_type, e.value,
               |  round(d.type_avg * 1e6) / 1e6 AS type_avg
@@ -514,13 +506,10 @@ object WindowQueries {
           .select(col("user_id"),
             unix_micros(col("session_window.start")).as("session_start_us"),
             col("n"), col("sum_value"))
-        val sinkName = uniqueSinkName("win_session_stream")
+        // parquet-sink drain: session count is O(input) at scale
         withShufflePartitions(s, 8) {
-          val q = agg.writeStream
-            .format("memory").queryName(sinkName).outputMode("append").start()
-          try q.processAllAvailable() finally q.stop()
+          graft.streaming.WeatherStream.drainToParquet(agg, "win_session_stream")
         }
-        s.table(sinkName)
           .filter(col("user_id") =!= -1L)
           .orderBy("user_id", "session_start_us")
       },

@@ -164,6 +164,33 @@ object WeatherStream {
       .parquet(s"$dir/chunk=*")
   }
 
+  /** Run an append-mode streaming frame to completion through a PARQUET
+    * file sink and read the committed result back — the scale-correct
+    * harness drain for streams whose output is O(input): rows land on
+    * (distributed at scale) storage straight from the executors, and the
+    * driver never materializes the result — unlike a memory sink, whose
+    * table lives in driver memory and caps output size at driver heap.
+    * Sink + checkpoint dirs are deterministic per query name and wiped
+    * before each run (Bench drives a query up to 3 times per session; a
+    * parquet sink cannot be re-driven from a stale checkpoint against a
+    * reset input feed, and a fresh-dir-per-run scheme would leak an
+    * output copy per invocation). */
+  def drainToParquet(df: DataFrame, name: String): DataFrame = {
+    val s = df.sparkSession
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sink_$name")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(base)
+    val q = df.writeStream.format("parquet")
+      .option("path", new java.io.File(base, "out").getAbsolutePath)
+      .option("checkpointLocation", new java.io.File(base, "ckpt").getAbsolutePath)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(new java.io.File(base, "out").getAbsolutePath)
+  }
+
   /** One staging directory per feed name under java.io.tmpdir, REUSED
     * across invocations (overwrite-mode writes reset it): Bench/Verify
     * invoke each streaming query several times per session, and a fresh
