@@ -103,7 +103,7 @@ object DedupQueries {
         // unbounded at scale — keep it off the driver
         withShufflePartitions(s, 8) {
           WeatherStream.drainToParquet(
-            input.dropDuplicates("user_id", "event_type"), "dedup_keys_stream")
+            input.df.dropDuplicates("user_id", "event_type"), "dedup_keys_stream", input)
         }
           .select(col("user_id"), col("event_type"))
           .orderBy("user_id", "event_type")

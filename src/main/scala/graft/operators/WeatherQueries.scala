@@ -145,11 +145,12 @@ object WeatherQueries {
     // oracle SQL — streaming ≡ batch ≡ DuckDB, hash-exact (the state
     // accumulates with the batch DECIMAL(25,6) semantics, see RainState).
     // The feed is 4 event-time-range chunk files replayed one per
-    // micro-batch (maxFilesPerTrigger=1, modification times force replay
-    // order), so cross-batch state carry is actually exercised with NO
-    // driver-side materialization: the only values collected are 3
-    // quantile boundaries. This is the production shape — swap the temp
-    // dir for a landing directory and the pipeline runs unbounded.
+    // micro-batch in ARRIVAL order (each chunk is copied into the live
+    // dir, processed, then the next arrives — no mtime pinning), so
+    // cross-batch state carry is actually exercised with NO driver-side
+    // materialization: the only values collected are 3 quantile
+    // boundaries. This is the production shape — swap the live dir for a
+    // landing directory and the pipeline runs unbounded.
     Q("wx_rain_daily_stream",
       (s, dir) => {
         import graft.streaming.WeatherStream
@@ -161,7 +162,7 @@ object WeatherQueries {
         // a driver-resident memory sink would cap it at driver heap
         withShufflePartitions(s, 8) {
           WeatherStream.drainToParquet(
-            WeatherStream.rainDailyStream(input).toDF(), "wx_rain_stream")
+            WeatherStream.rainDailyStream(input.typed).toDF(), "wx_rain_stream", input)
         }
           .select(col("event_id"), col("user_id"), col("day"),
             col("total_rain_mm"), col("daily_rain_mm"), col("rain_rate_mmh"))

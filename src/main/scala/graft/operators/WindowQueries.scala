@@ -315,7 +315,7 @@ object WindowQueries {
           ev.schema)
         val input = WeatherStream.chunkedFileFeedDF(
           ev.union(sentinel), "ts", WeatherStream.stagingDir("win_tumbling", dir))
-        val agg = input
+        val agg = input.df
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -324,7 +324,7 @@ object WindowQueries {
         // parquet-sink drain: window count grows with the time range —
         // executor-side output, nothing driver-resident
         withShufflePartitions(s, 8) {
-          graft.streaming.WeatherStream.drainToParquet(agg, "win_tumbling_stream")
+          graft.streaming.WeatherStream.drainToParquet(agg, "win_tumbling_stream", input)
         }.orderBy("ws", "event_type")
       },
       Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
@@ -352,15 +352,16 @@ object WindowQueries {
             .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
               col("ts").as("c_ts")),
           "c_ts", WeatherStream.stagingDir("ss_click", dir))
-        val joined = p.withWatermark("p_ts", "2 hours")
-          .join(c.withWatermark("c_ts", "2 hours"),
+        val joined = p.df.withWatermark("p_ts", "2 hours")
+          .join(c.df.withWatermark("c_ts", "2 hours"),
             expr("user_id = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
           .select(col("p_id"), col("user_id"),
             unix_micros(col("p_ts")).as("p_ts_us"),
             col("c_id"), unix_micros(col("c_ts")).as("c_ts_us"))
-        // parquet-sink drain: the match set is O(input) at scale
+        // parquet-sink drain: the match set is O(input) at scale; both
+        // feeds advance in step so the global watermark keeps moving
         withShufflePartitions(s, 8) {
-          graft.streaming.WeatherStream.drainToParquet(joined, "join_stream_stream")
+          graft.streaming.WeatherStream.drainToParquet(joined, "join_stream_stream", p, c)
         }.orderBy("p_id", "c_id")
       },
       Some("""SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
@@ -385,12 +386,12 @@ object WindowQueries {
         val dim = ev.groupBy("event_type").agg(davg(col("value")).as("type_avg"))
         val input = WeatherStream.chunkedFileFeedDF(
           ev, "ts", WeatherStream.stagingDir("ss_enrich", dir))
-        val joined = input.join(broadcast(dim), "event_type")
+        val joined = input.df.join(broadcast(dim), "event_type")
           .select(col("event_id"), col("event_type"), col("value"),
             r6(col("type_avg")).as("type_avg"))
         // parquet-sink drain: one output row per input event — O(input)
         withShufflePartitions(s, 8) {
-          graft.streaming.WeatherStream.drainToParquet(joined, "join_stream_static")
+          graft.streaming.WeatherStream.drainToParquet(joined, "join_stream_static", input)
         }.orderBy("event_id")
       },
       Some(s"""SELECT e.event_id, e.event_type, e.value,
@@ -416,10 +417,10 @@ object WindowQueries {
         import org.apache.spark.sql.streaming.GroupStateTimeout
         val readings = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-        val input = graft.streaming.WeatherStream.chunkedFileFeed(
+        val feed = graft.streaming.WeatherStream.chunkedFileFeed(
           readings, graft.streaming.WeatherStream.stagingDir("topk_stream", dir))
         val agg = new graft.functions.TopKAggregator(3)
-        val updates = input.map(r => (r.user_id, r.value, r.event_id))
+        val updates = feed.typed.map(r => (r.user_id, r.value, r.event_id))
           .groupByKey(_._1)
           .mapGroupsWithState[(Array[(Double, Long)], Long), (Long, Long, Seq[Double], Seq[Long])](
             GroupStateTimeout.NoTimeout) { (key, it, state) =>
@@ -434,7 +435,8 @@ object WindowQueries {
           val q = updates.toDF("user_id", "n_seen", "scores", "ids")
             .writeStream.format("memory").queryName(sinkName)
             .outputMode("update").start()
-          try q.processAllAvailable() finally q.stop()
+          try graft.streaming.WeatherStream.runChunked(q, Seq(feed))
+          finally q.stop()
         }
         val w = Window.partitionBy("user_id").orderBy(desc("n_seen"))
         s.table(sinkName)
@@ -499,7 +501,7 @@ object WindowQueries {
           ev.schema)
         val input = WeatherStream.chunkedFileFeedDF(
           ev.union(sentinel), "ts", WeatherStream.stagingDir("win_session", dir))
-        val agg = input
+        val agg = input.df
           .withWatermark("ts", "2 hours")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -508,7 +510,7 @@ object WindowQueries {
             col("n"), col("sum_value"))
         // parquet-sink drain: session count is O(input) at scale
         withShufflePartitions(s, 8) {
-          graft.streaming.WeatherStream.drainToParquet(agg, "win_session_stream")
+          graft.streaming.WeatherStream.drainToParquet(agg, "win_session_stream", input)
         }
           .filter(col("user_id") =!= -1L)
           .orderBy("user_id", "session_start_us")

@@ -112,19 +112,64 @@ object WeatherStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(updateRain)
   }
 
-  /** Write `readings` (event_id, user_id, ts, value) as `nChunks`
-    * event-time-range parquet files under `dir` and return the file-source
-    * stream that replays them oldest-first, ONE chunk per micro-batch
-    * (maxFilesPerTrigger=1; per-chunk modification times pin the replay
-    * order — the file source drains ascending modtime). Range-splitting on
-    * event time means replay order == event-time order across batches,
-    * while [[updateRain]] sorts within each batch; nothing is collected to
-    * the driver beyond the nChunks-1 quantile boundaries. Production swaps
-    * the staging dir for a landing directory and runs unbounded. */
+  private[streaming] def wipe(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+    f.delete(); ()
+  }
+
+  /** A chunked replay feed: data staged as event-time-range chunk files
+    * plus an initially-EMPTY live directory the file-source stream tails.
+    * Replay order is ARRIVAL order — the driver copies one chunk into the
+    * live dir per [[advance]] and the harness processes between arrivals —
+    * which is exactly the ordering contract a production landing directory
+    * gives (files appear, the source picks them up), with NO dependency on
+    * filesystem modification times (an object-store landing zone cannot
+    * pin mtimes; the round-5 `setLastModified` scheme was local-FS-only).
+    *
+    * Each chunk is exactly one parquet file (the staging write hash-
+    * partitions on the chunk id, so a chunk never splits across files),
+    * hence one `advance()` + `processAllAvailable()` = one micro-batch —
+    * cross-batch state carry in the consumers is genuinely exercised. */
+  final class ChunkedFeed private[streaming] (
+      val df: DataFrame,
+      chunkDirs: IndexedSeq[java.io.File],
+      live: java.io.File) {
+    private var next = 0
+    def nChunks: Int = chunkDirs.length
+    /** Copy the next staged chunk's data files into the live directory;
+      * returns false once every chunk has arrived. Idempotent copies
+      * (REPLACE_EXISTING) keep a crashed-and-rerun harness safe. */
+    def advance(): Boolean =
+      if (next >= chunkDirs.length) false
+      else {
+        val files = Option(chunkDirs(next).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("part-"))
+        files.foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(live, f"arrival-$next%05d-${f.getName}").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        next += 1
+        true
+      }
+    /** The feed as the typed sensor-reading stream. */
+    def typed: Dataset[SensorReading] =
+      df.as[SensorReading](org.apache.spark.sql.Encoders.product[SensorReading])
+  }
+
+  /** Stage `readings` (event_id, user_id, ts, value) as `nChunks`
+    * event-time-range chunk files under `dir` and return the feed whose
+    * stream replays them oldest-first, one chunk per micro-batch (arrival
+    * order via [[ChunkedFeed.advance]]; maxFilesPerTrigger=1 caps a batch
+    * at one file even if the harness advances twice without processing).
+    * Range-splitting on event time means replay order == event-time order
+    * across batches, while [[updateRain]] sorts within each batch; nothing
+    * is collected to the driver beyond the nChunks-1 quantile boundaries.
+    * Production swaps the live dir for a real landing directory (arrival
+    * order comes from the source itself) and runs unbounded. */
   def chunkedFileFeed(readings: DataFrame, dir: String,
-                      nChunks: Int = 4): Dataset[SensorReading] =
+                      nChunks: Int = 4): ChunkedFeed =
     chunkedFileFeedDF(readings, "ts", dir, nChunks)
-      .as[SensorReading](org.apache.spark.sql.Encoders.product[SensorReading])
 
   /** Untyped core of [[chunkedFileFeed]]: schema-preserving, splits on
     * `tsCol`. Works for any event-time DataFrame (the tumbling-window
@@ -135,7 +180,7 @@ object WeatherStream {
     * deduplicated, so the feed degrades to fewer (still correctly
     * ordered) micro-batches instead of writing empty chunk ranges. */
   def chunkedFileFeedDF(readings: DataFrame, tsCol: String, dir: String,
-                        nChunks: Int = 4): DataFrame = {
+                        nChunks: Int = 4): ChunkedFeed = {
     val s = readings.sparkSession
     val probs = (1 until nChunks).map(_.toDouble / nChunks).toArray
     val bounds = readings.select(col(tsCol).cast("double").as("t"))
@@ -144,60 +189,93 @@ object WeatherStream {
     val chunk = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
       case ((b, k), rest) => when(col(tsCol).cast("double") <= b, k).otherwise(rest)
     }
+    val stage = new java.io.File(dir, "chunks")
     readings.withColumn("chunk", chunk)
       .repartition(bounds.length + 1, col("chunk"))
-      .write.partitionBy("chunk").mode("overwrite").parquet(dir)
-    val t0 = new java.io.File(dir).lastModified()
-    for (k <- 0 to bounds.length) {
-      val d = new java.io.File(dir, s"chunk=$k")
-      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        // replay order (ascending modtime in FileStreamSource) is a
-        // CORRECTNESS dependency of the stateful consumers — a filesystem
-        // that cannot pin mtimes must fail loudly, not reorder silently
-        require(f.setLastModified(t0 + k * 60000L),
-          s"cannot set modification time on $f; chunk replay order would be undefined")
-      }
-    }
-    s.readStream
+      .write.partitionBy("chunk").mode("overwrite").parquet(stage.getAbsolutePath)
+    val live = new java.io.File(dir, "live")
+    wipe(live)
+    live.mkdirs()
+    val stream = s.readStream
       .schema(readings.schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/chunk=*")
+      .parquet(live.getAbsolutePath)
+    new ChunkedFeed(stream,
+      (0 to bounds.length).map(k => new java.io.File(stage, s"chunk=$k")), live)
   }
 
+  /** Drive `q` through its feeds to completion: each round advances every
+    * feed by one chunk (multi-input queries like the stream-stream join
+    * see both sides progress in step, keeping the global watermark
+    * moving) and processes all arrived data before the next arrival. */
+  def runChunked(q: org.apache.spark.sql.streaming.StreamingQuery,
+                 feeds: Seq[ChunkedFeed]): Unit = {
+    var advanced = true
+    while (advanced) {
+      advanced = feeds.foldLeft(false)((any, f) => f.advance() || any)
+      if (advanced) q.processAllAvailable()
+    }
+    q.processAllAvailable()
+  }
+
+  /** Session-scoped temp root: namespaced by the Spark application id so
+    * two concurrent JVMs running Bench/Verify on one machine can never
+    * wipe each other's staging/sink/checkpoint dirs mid-stream. */
+  private def tmpRoot(s: org.apache.spark.sql.SparkSession): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${s.sparkContext.applicationId}")
+
+  /** Start `df` as an append-mode parquet-sink query writing under
+    * `base` ("out" + "ckpt" subdirs). Exposed so restart-from-checkpoint
+    * tests can stop mid-feed and start a second query over the SAME dirs
+    * (exactly-once via the file-sink metadata log + state checkpoint). */
+  def startParquetSink(df: DataFrame,
+                       base: java.io.File): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", new java.io.File(base, "out").getAbsolutePath)
+      .option("checkpointLocation", new java.io.File(base, "ckpt").getAbsolutePath)
+      .outputMode("append").start()
+
+  /** Read a completed parquet sink back (the FileStreamSink metadata log
+    * makes this exactly-once: orphan files from an interrupted batch are
+    * not listed). */
+  def readParquetSink(s: org.apache.spark.sql.SparkSession,
+                      base: java.io.File): DataFrame =
+    s.read.parquet(new java.io.File(base, "out").getAbsolutePath)
+
   /** Run an append-mode streaming frame to completion through a PARQUET
-    * file sink and read the committed result back — the scale-correct
-    * harness drain for streams whose output is O(input): rows land on
-    * (distributed at scale) storage straight from the executors, and the
-    * driver never materializes the result — unlike a memory sink, whose
-    * table lives in driver memory and caps output size at driver heap.
-    * Sink + checkpoint dirs are deterministic per query name and wiped
+    * file sink, feeding its chunked inputs in arrival order, and read the
+    * committed result back — the scale-correct harness drain for streams
+    * whose output is O(input): rows land on (distributed at scale)
+    * storage straight from the executors, and the driver never
+    * materializes the result — unlike a memory sink, whose table lives in
+    * driver memory and caps output size at driver heap. Sink + checkpoint
+    * dirs are deterministic per (application, query name) and wiped
     * before each run (Bench drives a query up to 3 times per session; a
     * parquet sink cannot be re-driven from a stale checkpoint against a
     * reset input feed, and a fresh-dir-per-run scheme would leak an
     * output copy per invocation). */
-  def drainToParquet(df: DataFrame, name: String): DataFrame = {
+  def drainToParquet(df: DataFrame, name: String, feeds: ChunkedFeed*): DataFrame = {
     val s = df.sparkSession
-    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_sink_$name")
-    def wipe(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-      f.delete(); ()
-    }
+    val base = new java.io.File(tmpRoot(s), s"sink_$name")
     wipe(base)
-    val q = df.writeStream.format("parquet")
-      .option("path", new java.io.File(base, "out").getAbsolutePath)
-      .option("checkpointLocation", new java.io.File(base, "ckpt").getAbsolutePath)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    s.read.parquet(new java.io.File(base, "out").getAbsolutePath)
+    val q = startParquetSink(df, base)
+    try runChunked(q, feeds) finally q.stop()
+    readParquetSink(s, base)
   }
 
-  /** One staging directory per feed name under java.io.tmpdir, REUSED
-    * across invocations (overwrite-mode writes reset it): Bench/Verify
-    * invoke each streaming query several times per session, and a fresh
-    * temp dir per run would leak a full table copy each time. */
-  def stagingDir(name: String, sfDir: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_feed_${name}_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+  /** One staging directory per (application, feed name, dataset) under
+    * java.io.tmpdir, REUSED across invocations within a session
+    * (overwrite-mode writes reset it): Bench/Verify invoke each streaming
+    * query several times per session, and a fresh temp dir per run would
+    * leak a full table copy each time. The application id prevents
+    * cross-JVM collisions; the sfDir hash separates datasets within one
+    * session. */
+  def stagingDir(name: String, sfDir: String): String = {
+    val s = org.apache.spark.sql.SparkSession.active
+    new java.io.File(tmpRoot(s),
+      s"feed_${name}_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+  }
 
   /** Event-time tumbling aggregation with a watermark: late rows beyond
     * `lateness` are dropped — the generalized form of the reference's

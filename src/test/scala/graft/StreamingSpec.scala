@@ -93,10 +93,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val feed = WeatherStream.chunkedFileFeed(
       readings.toDF("event_id", "user_id", "ts", "value"),
       new java.io.File(dir, "src").getAbsolutePath)
-    val q = WeatherStream.rainDailyStream(feed).writeStream
+    val q = WeatherStream.rainDailyStream(feed.typed).writeStream
       .format("memory").queryName("feed_out").outputMode("append").start()
     try {
-      q.processAllAvailable()
+      WeatherStream.runChunked(q, Seq(feed))
       // the whole point of the feed: 4 chunks -> 4 SEPARATE micro-batches,
       // so cross-batch state carry is exercised (not masked by one batch)
       val batches = q.recentProgress.filter(_.numInputRows > 0)
@@ -135,19 +135,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val input = WeatherStream.chunkedFileFeedDF(
       ev.union(sentinel), "ts", staging)
     // the staged write partitions by chunk — recover each row's chunk id
-    val chunkOf = spark.read.parquet(staging)
+    val chunkOf = spark.read.parquet(s"$staging/chunks")
       .select("event_id", "chunk").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(chunkOf(1L) !== chunkOf(2L),
       s"test setup: the session pair must straddle a chunk boundary, got $chunkOf")
-    val agg = input
+    val agg = input.df
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("session_window.start").as("start"), col("n"))
     val q = agg.writeStream.format("memory").queryName("session_merge_out")
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try WeatherStream.runChunked(q, Seq(input)) finally q.stop()
     val sessions = spark.table("session_merge_out")
       .filter(col("user_id") === 7L).collect()
     assert(sessions.length === 1,
@@ -176,19 +176,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val pStage = new java.io.File(dir, "purchases").getAbsolutePath
     val cFeed = WeatherStream.chunkedFileFeedDF(clicks, "c_ts", cStage)
     val pFeed = WeatherStream.chunkedFileFeedDF(purchases, "p_ts", pStage)
-    val cChunk = spark.read.parquet(cStage).filter(col("c_id") === 1L)
+    val cChunk = spark.read.parquet(s"$cStage/chunks").filter(col("c_id") === 1L)
       .select("chunk").head().getInt(0)
-    val pChunk = spark.read.parquet(pStage).filter(col("p_id") === 2L)
+    val pChunk = spark.read.parquet(s"$pStage/chunks").filter(col("p_id") === 2L)
       .select("chunk").head().getInt(0)
     assert(cChunk !== pChunk,
       s"test setup: partners must arrive in different batches (click chunk $cChunk, purchase chunk $pChunk)")
-    val joined = pFeed.withWatermark("p_ts", "2 hours")
-      .join(cFeed.withWatermark("c_ts", "2 hours"),
+    val joined = pFeed.df.withWatermark("p_ts", "2 hours")
+      .join(cFeed.df.withWatermark("c_ts", "2 hours"),
         expr("user_id = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"))
       .select(col("p_id"), col("c_id"))
     val q = joined.writeStream.format("memory").queryName("ssjoin_out")
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try WeatherStream.runChunked(q, Seq(pFeed, cFeed)) finally q.stop()
     val pairs = spark.table("ssjoin_out").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((2L, 1L)),
@@ -214,10 +214,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val feed = WeatherStream.chunkedFileFeed(
       readings.toDF("event_id", "user_id", "ts", "value"),
       new java.io.File(dir, "src").getAbsolutePath)
-    val q = WeatherStream.rainDailyStream(feed).writeStream
+    val q = WeatherStream.rainDailyStream(feed.typed).writeStream
       .format("memory").queryName("tied_out").outputMode("append").start()
     try {
-      q.processAllAvailable()
+      WeatherStream.runChunked(q, Seq(feed))
       val batches = q.recentProgress.filter(_.numInputRows > 0)
       assert(batches.length >= 2 && batches.length <= 4,
         s"expected collapsed-but-multi batch replay, got ${batches.length}")
@@ -230,6 +230,84 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .map(r => (r.getLong(0), r.getDouble(3))).toSeq
       assert(streamed === batch)
     } finally q.stop()
+  }
+
+  test("rain stream stopped after chunk 2 of 4 resumes from its checkpoint, output == batch") {
+    // THE fault-tolerance fact a production user relies on: kill a
+    // stateful streaming query mid-feed, restart it from the SAME
+    // checkpoint + sink dirs, drain the rest — the recovered run must
+    // produce exactly the batch result (state store restores the
+    // per-user RainState; the file-sink metadata log keeps output
+    // exactly-once across the restart).
+    val readings = (0 until 60).map { i =>
+      SensorReading(i.toLong, i.toLong % 3,
+        new Timestamp(ts(0).getTime + i * 3600L * 1000L), (i % 7) * 0.5)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("restart_rain_").toFile
+    val feed = WeatherStream.chunkedFileFeed(
+      readings.toDF("event_id", "user_id", "ts", "value"),
+      new java.io.File(dir, "src").getAbsolutePath)
+    assert(feed.nChunks === 4)
+    val sink = new java.io.File(dir, "sink")
+    def start() = WeatherStream.startParquetSink(
+      WeatherStream.rainDailyStream(feed.typed).toDF(), sink)
+    val q1 = start()
+    try {
+      feed.advance(); q1.processAllAvailable()
+      feed.advance(); q1.processAllAvailable()
+    } finally q1.stop() // stop mid-feed: chunks 2..3 have not arrived
+    val q2 = start()    // SAME checkpoint: state + file-sink log recovered
+    try WeatherStream.runChunked(q2, Seq(feed)) finally q2.stop()
+    val streamed = WeatherStream.readParquetSink(spark, sink)
+      .collect().map(o => (o.getLong(0), o.getString(4), o.getDouble(5),
+        o.getDouble(6), o.getDouble(7))).sortBy(_._1).toSeq
+    val batch = graft.operators.WeatherQueries.rainDaily(
+        readings.toDF("event_id", "user_id", "ts", "value"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(streamed === batch)
+  }
+
+  test("windowed stream resumes watermark state across a checkpoint restart") {
+    import org.apache.spark.sql.functions._
+    // Same restart drill for a watermarked tumbling-window aggregation:
+    // the watermark and the partial window state live in the checkpoint,
+    // so a window that is OPEN at the stop must still close correctly
+    // after the restart. A far-future sentinel in the last chunk pushes
+    // the watermark past every real window (its own window never closes).
+    val base = ts(0).getTime
+    def at(mins: Long) = new Timestamp(base + mins * 60000L)
+    val ev = ((0 until 48).map(i => (i.toLong, at(i * 15L), (i % 5) * 1.0))
+      :+ ((99L, at(14L * 24 * 60), 0.0)))
+      .toDF("event_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("restart_win_").toFile
+    val feed = WeatherStream.chunkedFileFeedDF(
+      ev, "ts", new java.io.File(dir, "src").getAbsolutePath)
+    val sink = new java.io.File(dir, "sink")
+    def start() = WeatherStream.startParquetSink(
+      feed.df.withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start").as("ws"), col("n"), col("sum_value")),
+      sink)
+    val q1 = start()
+    try {
+      feed.advance(); q1.processAllAvailable()
+      feed.advance(); q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try WeatherStream.runChunked(q2, Seq(feed)) finally q2.stop()
+    val streamed = WeatherStream.readParquetSink(spark, sink)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1.getTime).toSeq
+    val batch = ev.filter(col("event_id") =!= 99L)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+      .orderBy("ws").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed === batch)
   }
 
   test("registered wx_rain_daily_stream is row-identical to batch wx_rain_daily") {
