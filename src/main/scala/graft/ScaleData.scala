@@ -34,8 +34,16 @@ import org.apache.spark.sql.functions._
 object ScaleData {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleData <srcDir> <outDir> <copies>")
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleData <srcDir> <outDir> <copies> [tables,comma,separated]")
     val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    // optional table subset (4th arg): a 100x run for the dedup/streaming
+    // scaling point only needs documents/events/embeddings — skipping the
+    // 60M-row lineitem copy keeps the decade cheap
+    val only: String => Boolean = args.lift(3) match {
+      case Some(list) => list.split(",").map(_.trim).toSet
+      case None => _ => true
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -59,57 +67,63 @@ object ScaleData {
     }
 
     // dimensions: verbatim
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-      write(read(t), t)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .filter(only).foreach { t => write(read(t), t) }
+
+    if (only("documents")) {
+      val docs = read("documents")
+      val dk = keySpan(docs, "doc_id")
+      write(
+        replicate(docs)
+          .withColumn("doc_id", col("doc_id") + col("__copy") * dk)
+          .withColumn("text",
+            when(col("__copy") === 0, col("text"))
+              .otherwise(concat_ws(" ",
+                expr("transform(filter(split(text, ' '), w -> w != ''), w -> concat(w, '~', __copy))"))))
+          .withColumn("n_chars", length(col("text")))
+          .drop("__copy"),
+        "documents")
     }
 
-    val docs = read("documents")
-    val dk = keySpan(docs, "doc_id")
-    write(
-      replicate(docs)
-        .withColumn("doc_id", col("doc_id") + col("__copy") * dk)
-        .withColumn("text",
-          when(col("__copy") === 0, col("text"))
-            .otherwise(concat_ws(" ",
-              expr("transform(filter(split(text, ' '), w -> w != ''), w -> concat(w, '~', __copy))"))))
-        .withColumn("n_chars", length(col("text")))
-        .drop("__copy"),
-      "documents")
+    if (only("embeddings")) {
+      val emb = read("embeddings")
+      val vk = keySpan(emb, "vec_id", roundTo = 50)
+      write(
+        replicate(emb)
+          .withColumn("vec_id", col("vec_id") + col("__copy") * vk)
+          .withColumn("rot", pmod(col("__copy"), size(col("embedding"))).cast("int"))
+          .withColumn("embedding",
+            expr("concat(slice(embedding, rot + 1, size(embedding) - rot), slice(embedding, 1, rot))"))
+          .drop("__copy", "rot"),
+        "embeddings")
+    }
 
-    val emb = read("embeddings")
-    val vk = keySpan(emb, "vec_id", roundTo = 50)
-    write(
-      replicate(emb)
-        .withColumn("vec_id", col("vec_id") + col("__copy") * vk)
-        .withColumn("rot", pmod(col("__copy"), size(col("embedding"))).cast("int"))
-        .withColumn("embedding",
-          expr("concat(slice(embedding, rot + 1, size(embedding) - rot), slice(embedding, 1, rot))"))
-        .drop("__copy", "rot"),
-      "embeddings")
+    if (only("events")) {
+      val events = read("events") // ts stays raw INT64 nanos (see Tables.events)
+      val ek = keySpan(events, "event_id")
+      val uk = keySpan(events, "user_id")
+      write(
+        replicate(events)
+          .withColumn("event_id", col("event_id") + col("__copy") * ek)
+          .withColumn("user_id", col("user_id") + col("__copy") * uk)
+          .drop("__copy"),
+        "events")
+    }
 
-    val events = read("events") // ts stays raw INT64 nanos (see Tables.events)
-    val ek = keySpan(events, "event_id")
-    val uk = keySpan(events, "user_id")
-    write(
-      replicate(events)
-        .withColumn("event_id", col("event_id") + col("__copy") * ek)
-        .withColumn("user_id", col("user_id") + col("__copy") * uk)
-        .drop("__copy"),
-      "events")
-
-    val orders = read("orders")
-    val ok = keySpan(orders, "o_orderkey")
-    write(
-      replicate(orders)
-        .withColumn("o_orderkey", col("o_orderkey") + col("__copy") * ok)
-        .drop("__copy"),
-      "orders")
-
-    write(
-      replicate(read("lineitem"))
-        .withColumn("l_orderkey", col("l_orderkey") + col("__copy") * ok)
-        .drop("__copy"),
-      "lineitem")
+    if (only("orders") || only("lineitem")) {
+      val orders = read("orders")
+      val ok = keySpan(orders, "o_orderkey")
+      if (only("orders")) write(
+        replicate(orders)
+          .withColumn("o_orderkey", col("o_orderkey") + col("__copy") * ok)
+          .drop("__copy"),
+        "orders")
+      if (only("lineitem")) write(
+        replicate(read("lineitem"))
+          .withColumn("l_orderkey", col("l_orderkey") + col("__copy") * ok)
+          .drop("__copy"),
+        "lineitem")
+    }
 
     println(s"""{"scaled": "$src -> $out", "copies": $copies}""")
     spark.stop()

@@ -92,6 +92,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(byQ.nonEmpty)
   }
 
+  test("stored IVF index round-trips: build + probe == in-memory ivfKnn") {
+    // the persisted-artifact serving path (offline ivfBuild -> parquet
+    // codebook + cell-partitioned corpus -> online ivfProbe) must produce
+    // exactly the self-contained ivfKnn result: same fit (fixed seed, same
+    // data), same probe ranking, same tie-breaks — the index round-trip
+    // loses nothing.
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx_").toFile.getAbsolutePath
+    Similarity.ivfBuild(emb, idx, nlist = 16)
+    val probed = Similarity.ivfProbe(spark, idx, queries, 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inMem = Similarity.ivfKnn(emb, queries, 5, nlist = 16, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(probed === inMem)
+    assert(probed.nonEmpty)
+    // and the artifacts really are the two-file index contract
+    assert(new java.io.File(s"$idx/codebook.parquet/_SUCCESS").exists())
+    assert(new java.io.File(s"$idx/cells.parquet/_SUCCESS").exists())
+    // cell partitioning is what makes the probe scan prunable
+    assert(new java.io.File(s"$idx/cells.parquet").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+  }
+
+  test("IVF probe finds planted near neighbors through the stored index") {
+    val base = emb.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = base.map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.01f; (id + 10000L, w.toSeq)
+    }
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .union(planted.toSeq.toDF("vec_id", "embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx_").toFile.getAbsolutePath
+    Similarity.ivfBuild(corpus, idx, nlist = 16)
+    val res = Similarity.ivfProbe(spark, idx,
+        planted.toSeq.toDF("vec_id", "embedding"), 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = base.count { case (id, _) => res.get(id + 10000L).contains(id) }
+    assert(hits === base.length, s"stored-index self-recall failed: $res")
+  }
+
   test("LSH recall vs brute force is meaningful on the real corpus") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val brute = Similarity.knn(emb, queries, 5).collect()
