@@ -438,4 +438,89 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select((Seq("v1", "v2") ++ blockCols :+ "cos").map(col): _*)
   }
+
+  /** Maximum sign bits per band: caps the dynamic knob at 2^20 buckets —
+    * target occupancy holds up to targetOccupancy·2^20 (≈16M at the
+    * default) rows per semantic block before buckets start growing with
+    * the corpus again (raise for bigger decades). */
+  val EmbedBitsMax = 20
+
+  /** The bits-vs-corpus-size law shared by [[embedPairsBanded]] and its
+    * generated DuckDB oracle: smallest b in 1..[[EmbedBitsMax]] with
+    * targetOccupancy·2^b ≥ n — ceil(log₂(n/targetOccupancy)) spelled as
+    * pure INTEGER comparisons, because float log2 can differ a ULP
+    * between engines exactly at powers of two, flipping the bucket count
+    * on one side only. */
+  def embedBits(n: Long, targetOccupancy: Long): Int =
+    (1 to EmbedBitsMax).find(b => (targetOccupancy << b) >= n)
+      .getOrElse(EmbedBitsMax)
+
+  /** Embedding-cosine near-dup pairs with a BOUNDED blocking key: the
+    * semantic key(s) composed with a banded sign-LSH bucket of the vector
+    * itself — [[embedPairs]]' documented scale knob applied. Candidates =
+    * pairs sharing the semantic key AND at least one of `bands` bucket
+    * values (each `bits` hyperplane sign bits, the same fixed-seed plane
+    * generator as [[Similarity.lshKnn]]); every candidate is exactly
+    * cosine-verified against `threshold`.
+    *
+    * `bits` is NOT fixed: it grows with the corpus as
+    * ceil(log₂(n/targetOccupancy)) — the [[embedBits]] integer law, one
+    * O(1)-output count scan to read n — so expected per-(band, key)
+    * bucket size stays at targetOccupancy whatever the corpus size, and
+    * candidate work Σ_blocks |b|² ≈ bands·n·targetOccupancy stays LINEAR
+    * in n. The fixed-granularity quadratic blow-up [[embedPairs]]
+    * measures (100× pairs at 10× data, BENCH_SCALING) is gone by
+    * construction; BENCH_SCALING pins the measured drop.
+    *
+    * Why a sign-LSH component and not an IVF cell: bucket assignment is
+    * O(bands·bits·dim) per row — linear in corpus size with a log-growth
+    * knob — where assigning n rows to an IVF codebook of
+    * k = n/targetOccupancy cells costs O(n·k·dim) = quadratic in n. And
+    * hyperplane signs are portable doubles (same left-to-right fold both
+    * engines), so the blocking is DuckDB-reproducible and the query
+    * keeps its full hash oracle — an MLlib-fit codebook is not.
+    *
+    * Recall for a pair at angle θ is 1 − (1 − (1 − θ/π)^bits)^bands:
+    * ≥ 0.999 for true near-dups (cos ≥ 0.99) even at bits = 20, by
+    * design NOT a recall path for far pairs (cos ≈ threshold ≈ 0.35) —
+    * those are what the bound deliberately prunes; DedupSpec's
+    * planted-near-dup case is the recall guard. Null vectors are
+    * excluded on both engines. */
+  def embedPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                       blockCols: Seq[String], threshold: Double,
+                       bands: Int = 4, targetOccupancy: Long = 16,
+                       dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, dot}
+    val ps = Similarity.planes(bands, EmbedBitsMax, dim)
+    // materialized once: feeds the count, BOTH banding sides, and both
+    // verify joins (same iterative-plan hygiene as ngramJaccardPairs)
+    val base = df.filter(col(vecCol).isNotNull)
+      .select((idCol +: vecCol +: blockCols).map(col): _*)
+      .localCheckpoint(true)
+    val bits = embedBits(base.count(), targetOccupancy)
+    def bandVal(b: Int, v: Column): Column =
+      (0 until bits).map { j =>
+        when(dot(v, array(ps(b * EmbedBitsMax + j).map(lit): _*)) >= 0.0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val banded = base.select(
+      col(idCol) +: blockCols.map(col) :+
+        posexplode(array((0 until bands).map(b => bandVal(b, col(vecCol))): _*)): _*)
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val x = banded.toDF("v1" +: blockCols ++: Seq("band_idx", "band_val"): _*)
+    val y = banded.toDF("v2" +: blockCols.map(_ + "__r") ++: Seq("bi__r", "bv__r"): _*)
+    val on = blockCols.map(c => col(c) === col(c + "__r")).reduce(_ && _) &&
+      col("band_idx") === col("bi__r") && col("band_val") === col("bv__r") &&
+      col("v1") < col("v2")
+    val cand = x.join(y, on)
+      .select((Seq("v1", "v2") ++ blockCols).map(col): _*).distinct()
+    cand
+      .join(base.select(col(idCol).as("v1"), col(vecCol).as("__e1")), "v1")
+      .join(base.select(col(idCol).as("v2"), col(vecCol).as("__e2")), "v2")
+      .withColumn("cos", cosine(col("__e1"), col("__e2")))
+      .filter(col("cos") >= threshold)
+      .select((Seq("v1", "v2") ++ blockCols :+ "cos").map(col): _*)
+  }
 }

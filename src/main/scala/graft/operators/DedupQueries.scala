@@ -290,25 +290,77 @@ object DedupQueries {
              |       round(jac * 1e6) / 1e6 AS jaccard
              |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
-    // Embedding-cosine near-dup, label-blocked (the blocking key stands in
-    // for a coarse quantizer/IVF cell at scale — see Dedup.embedPairs for
-    // the measured quadratic-in-block-size analysis and the knob).
-    // Oracle-checkable: the cosine is bit-identical between VecCosine and
-    // the DuckDB list-fold twin (see SimilarityQueries.cosineSql), so the
-    // >=0.35 threshold cuts identically.
+    // Embedding-cosine near-dup with the BOUNDED blocking key: label
+    // composed with a banded sign-LSH bucket of the vector (4 bands ×
+    // ceil(log2(n/16)) bits — the knob GROWS with the corpus), candidates
+    // exactly cosine-verified — Dedup.embedPairs' documented scale knob
+    // APPLIED (expected bucket occupancy pinned at 16, so candidate pairs
+    // grow linearly with the corpus where the label-only form grew as
+    // block²; BENCH_SCALING pins the measured drop). Still fully
+    // hash-oracled: hyperplane sign bits are the same left-to-right
+    // double fold both engines, the bit-count law is pure integer
+    // comparisons on both, and the cosine verify is bit-identical
+    // (SimilarityQueries.cosineSql).
     Q("dedup_embed",
       (s, dir) => {
         val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
-        Dedup.embedPairs(e, "vec_id", "embedding", Seq("label"), 0.35)
+        Dedup.embedPairsBanded(e, "vec_id", "embedding", Seq("label"), 0.35)
           .select(col("v1"), col("v2"), col("label"), r6(col("cos")).as("cosine"))
           .orderBy("v1", "v2")
       },
-      Some(s"""WITH p AS (
-              |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
-              |    ${SimilarityQueries.cosineSql("a.embedding", "b.embedding")} AS cos
-              |  FROM embeddings a JOIN embeddings b
-              |    ON a.label = b.label AND a.vec_id < b.vec_id)
-              |SELECT v1, v2, label, round(cos * 1e6) / 1e6 AS cosine
-              |FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin)),
+      Some(embedBandedSql)),
   )
+
+  /** Generated DuckDB twin of [[Dedup.embedPairsBanded]] (4 bands ×
+    * dynamic bits over the shared fixed-seed hyperplanes): the plane
+    * constants are spliced as shortest-round-trip double literals — both
+    * engines parse them to the identical bit pattern, and both compute
+    * the same left-to-right dot fold, so sign bits, band buckets,
+    * candidates and the verified cosine all match exactly. The bit count
+    * reproduces [[Dedup.embedBits]]'s integer law from count(*) (nb CTE),
+    * so the oracle tracks the engine's knob at ANY corpus size, not just
+    * the driver's. */
+  private lazy val embedBandedSql: String = {
+    val (bands, dim, occ) = (4, 64, 16L)
+    val bitsMax = Dedup.EmbedBitsMax
+    val ps = Similarity.planes(bands, bitsMax, dim)
+    def dotPlane(p: Int): String = {
+      val lst = ps(p).mkString("[", ", ", "]")
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+         |        i -> CAST(embedding[i] AS DOUBLE) * (CAST($lst AS DOUBLE[]))[i]))""".stripMargin
+    }
+    // Dedup.embedBits as a generated integer CASE chain
+    val bitsCase = (1 until bitsMax)
+      .map(b => s"WHEN nn <= ${occ << b} THEN $b").mkString(" ")
+    def bandVal(b: Int): String = (0 until bitsMax).map { j =>
+      s"(CASE WHEN $j < nb.bits AND ${dotPlane(b * bitsMax + j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+    val bandCols = (0 until bands).map(b => s"${bandVal(b)} AS b$b").mkString(",\n    ")
+    val bandCase = (0 until bands).map(b => s"WHEN $b THEN b$b").mkString(" ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |nb AS (
+       |  SELECT CASE $bitsCase ELSE $bitsMax END AS bits
+       |  FROM (SELECT count(*) AS nn FROM e)),
+       |sig AS (
+       |  SELECT vec_id, label,
+       |    $bandCols
+       |  FROM e CROSS JOIN nb),
+       |banded AS (
+       |  SELECT vec_id, label, bi.band_idx,
+       |    CASE bi.band_idx $bandCase END AS band_val
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) bi),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2, x.label
+       |  FROM banded x JOIN banded y
+       |    ON x.label = y.label AND x.band_idx = y.band_idx
+       |   AND x.band_val = y.band_val AND x.vec_id < y.vec_id),
+       |p AS (
+       |  SELECT c.v1, c.v2, c.label,
+       |    ${SimilarityQueries.cosineSql("a.embedding", "b.embedding")} AS cos
+       |  FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2)
+       |SELECT v1, v2, label, round(cos * 1e6) / 1e6 AS cosine
+       |FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin
+  }
 }

@@ -28,20 +28,26 @@ object EmbeddingQueries {
   /** Generated unrolled-iteration twin of [[Embeddings.kmeans]]: c0 =
     * smallest-id seeds, then per iteration an assignment CTE (argmin by
     * (dist, j) row_number) and a centroid-update CTE (DECIMAL(25,6)
-    * per-dimension means, empty clusters keep their centroid). */
+    * per-dimension means, empty clusters keep their centroid). Every base
+    * scan excludes null vectors — the engine side excludes them up front
+    * (Embeddings.kmeans), so the oracle must share the exclusion rule
+    * rather than rely on the corpus staying null-free. */
   private lazy val kmeansOracle: String = {
     val b = new StringBuilder
-    b ++= s"""WITH c0 AS (
+    b ++= s"""WITH ebase AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  WHERE embedding IS NOT NULL),
+             |c0 AS (
              |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-             |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $KmK))""".stripMargin
+             |  FROM (SELECT vec_id, embedding FROM ebase ORDER BY vec_id LIMIT $KmK))""".stripMargin
     for (t <- 1 to KmIters) b ++= s""",
              |a$t AS (
              |  SELECT vec_id, embedding, j FROM (
              |    SELECT e.vec_id, e.embedding, c.j,
              |      row_number() OVER (PARTITION BY e.vec_id
              |        ORDER BY ${distSqSql("e.embedding", "c.c")}, c.j) AS rn
-             |    FROM embeddings e CROSS JOIN c${t - 1} c) WHERE rn = 1),
+             |    FROM ebase e CROSS JOIN c${t - 1} c) WHERE rn = 1),
              |c$t AS (
              |  SELECT p.j, coalesce(u.c, p.c) AS c FROM c${t - 1} p LEFT JOIN (
              |    SELECT j, list(v ORDER BY i) AS c FROM (
@@ -55,7 +61,7 @@ object EmbeddingQueries {
              |    SELECT e.vec_id, c.j, ${distSqSql("e.embedding", "c.c")} AS d,
              |      row_number() OVER (PARTITION BY e.vec_id
              |        ORDER BY ${distSqSql("e.embedding", "c.c")}, c.j) AS rn
-             |    FROM embeddings e CROSS JOIN c$KmIters c) WHERE rn = 1)
+             |    FROM ebase e CROSS JOIN c$KmIters c) WHERE rn = 1)
              |SELECT f.vec_id, f.j AS cluster, s.cluster_size,
              |  round(f.d * 1e6) / 1e6 AS dist_sq
              |FROM fin f JOIN (SELECT j, count(*) AS cluster_size FROM fin GROUP BY 1) s

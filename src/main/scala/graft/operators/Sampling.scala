@@ -97,18 +97,27 @@ object Sampling {
     * greedy-fill contract for token-budget training shards).
     *
     * One shuffle (bucket) + one in-bucket sort; buckets are the
-    * parallelism knob, and the cumulative sum is integer-exact, so the
-    * assignment is deterministic and oracle-checkable. */
+    * parallelism knob, and the cumulative sum is integer-exact (the shard
+    * index is integral `DIV` arithmetic end to end — no double
+    * true-division anywhere, so exactness has no 2^53 cumulative-size
+    * ceiling), so the assignment is deterministic and oracle-checkable.
+    *
+    * PRECONDITION (same contract style as `AsofJoinExec`): `key` must be
+    * unique — it is the in-bucket running-sum order, and the window sort
+    * over tied keys is partition-order-arbitrary, which would make shard
+    * assignment nondeterministic. Natural for the intended key (a
+    * document/row id); pack on a composite unique key otherwise. */
   def packBySize(df: DataFrame, key: Column, size: Column,
                  nBuckets: Int, shardSize: Long,
                  salt: String = "pack"): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy("__pk")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__pk", key)
+      .withColumn("__sz", size.cast("long"))
       .withColumn("bucket", pmod(keyHash60(key, salt), lit(nBuckets)).cast("int"))
-      .withColumn("__cum", sum(size.cast("long")).over(w))
+      .withColumn("__cum", sum(col("__sz")).over(w))
       .withColumn("shard",
-        ((col("__cum") - size.cast("long")) / shardSize).cast("int"))
-      .drop("__pk", "__cum")
+        expr(s"CAST((__cum - __sz) DIV CAST($shardSize AS BIGINT) AS INT)"))
+      .drop("__pk", "__cum", "__sz")
   }
 }

@@ -184,6 +184,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(km === Set(1L, 3L), "null vectors must be excluded from clustering")
   }
 
+  test("embedPairsBanded: planted near-dups survive the bounded blocking") {
+    // real corpus + planted near-copies (cos ≈ 1, same label): the
+    // banded sign-LSH blocking must keep every planted pair — this is
+    // the recall guard for the bounded dedup_embed spelling
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val planted = emb.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        expr("transform(embedding, x -> x * 1.0001d + 0.0001d)").as("embedding"))
+    val n = planted.count()
+    assert(n > 0, "need planted vectors")
+    val pairs = Dedup.embedPairsBanded(emb.union(planted), "vec_id", "embedding",
+        Seq("label"), threshold = 0.99)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.filter(col("vec_id") % 100 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    assert((expected -- pairs).isEmpty,
+      s"banded blocking dropped planted near-dups: ${expected -- pairs}")
+  }
+
+  test("embedBits integer law: occupancy-16 buckets track corpus size") {
+    // smallest b with 16·2^b >= n — spot-pin the law the oracle mirrors,
+    // including the exact-power-of-two edges float log2 would get wrong
+    assert(Dedup.embedBits(0L, 16) === 1)
+    assert(Dedup.embedBits(32L, 16) === 1)
+    assert(Dedup.embedBits(33L, 16) === 2)
+    assert(Dedup.embedBits(500L, 16) === 5)
+    assert(Dedup.embedBits(2240L, 16) === 8) // sf0.1 + planted
+    assert(Dedup.embedBits(16L << 20, 16) === 20)
+    assert(Dedup.embedBits(Long.MaxValue / 4, 16) === Dedup.EmbedBitsMax)
+  }
+
   test("exactDedup keeps exactly the earliest row per key") {
     val events = graft.sources.Tables.events(spark, SF)
     val deduped = Dedup.exactDedup(events, Seq("user_id", "event_type"),
