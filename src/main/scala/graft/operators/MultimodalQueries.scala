@@ -14,9 +14,17 @@ import graft.sources.Tables
   * `FakeDecoder.decode` for a codec call; the plan shape (scan → narrow
   * mapPartitions → columnar output) is unchanged and shuffle-free.
   *
-  * Oracle precondition: the framesample/decode oracles equate Spark
-  * byte-level math with DuckDB character-level math, valid only on pure
-  * ASCII — pinned by TextAndAggSpec ("documents corpus is pure ASCII").
+  * Byte/char semantics (multibyte-safe, no ASCII precondition): queries
+  * that model BYTE payloads (mm_ingest, mm_framesample, mm_decode) spell
+  * byte math explicitly on BOTH engines — Spark `octet_length(binary)` /
+  * FakeDecoder over the UTF-8 bytes, DuckDB `octet_length(encode(text))`
+  * and hex-string byte extraction (`substr(hex(encode(text)), 2i+1, 2)`;
+  * DuckDB's md5 only takes VARCHAR, so raw-byte-slice digests stay out
+  * of the oracle surface). Queries that model CHARACTER payloads
+  * (mm_chunks, mm_resize) use codepoint math, which the two engines
+  * already agree on for any UTF-8 input (Spark length/substring/ascii ≡
+  * DuckDB length/substr/ord, astral planes included — pinned by
+  * TextAndAggSpec's multibyte contract test).
   */
 object MultimodalQueries {
 
@@ -62,8 +70,10 @@ object MultimodalQueries {
 
     // Payload chunking: fixed-size segments with per-chunk digests — the
     // shape used to ship large media blobs through bounded-size records.
-    // This corpus is ASCII so char==byte; a binary corpus swaps substr on
-    // string for substr on binary (same Spark expression).
+    // Unit here is CHARACTERS (codepoints), identical on both engines for
+    // any UTF-8 text; a true binary corpus chunks bytes instead — the
+    // same Spark expression over substr-on-binary (DuckDB's md5 can't
+    // digest raw byte slices, so the byte spelling has no SQL oracle).
     Q("mm_chunks",
       (s, dir) => Tables.documents(s, dir)
         // guarded: Spark's sequence(0, -1) counts DOWN (same engine quirk
@@ -105,8 +115,8 @@ object MultimodalQueries {
       Some("""SELECT doc_id, n_frames, CAST(i AS INTEGER) AS frame_idx,
              |  md5(doc_id || ':' || i) AS frame_key
              |FROM (SELECT doc_id,
-             |        CAST(length(text) // 256 + 1 AS INTEGER) AS n_frames,
-             |        unnest(range(0, length(text) // 256 + 1)) AS i
+             |        CAST(octet_length(encode(text)) // 256 + 1 AS INTEGER) AS n_frames,
+             |        unnest(range(0, octet_length(encode(text)) // 256 + 1)) AS i
              |      FROM documents)
              |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
 
@@ -151,11 +161,13 @@ object MultimodalQueries {
     // Partition-wise decode → typed features (STUB decode, real plumbing).
     // The feature vector is flattened to scalar columns for output: the
     // driver's pandas-side hash compare cannot sort rows containing array
-    // cells (CORRECTNESS_r02 "unhashable type: numpy.ndarray"), and the
-    // stub's byte math is ASCII-expressible in DuckDB, which upgrades this
-    // from rows-only to a full oracle check. byte/128.0 is a power-of-two
-    // division — exact in both float and double, so the cast chain
-    // float→double here ≡ int/128.0 double division in the oracle.
+    // cells (CORRECTNESS_r02 "unhashable type: numpy.ndarray"). The stub
+    // reads raw UTF-8 BYTES (signed, like any codec would see them), and
+    // the oracle extracts the same bytes from hex(encode(text)) — exact
+    // on any corpus, multibyte included, with no char≡byte precondition.
+    // byte/128.0 is a power-of-two division — exact in both float and
+    // double, so the cast chain float→double here ≡ int/128.0 double
+    // division in the oracle.
     Q("mm_decode",
       (s, dir) => {
         import s.implicits._
@@ -169,13 +181,26 @@ object MultimodalQueries {
             (0 until 8).map(i => col("feature")(i).cast("double").as(s"f$i")): _*)
           .orderBy("doc_id")
       },
-      Some(s"""SELECT doc_id,
-              |  (CASE WHEN length(text) >= 1 THEN ord(substr(text, 1, 1)) ELSE 1 END % 64) + 1 AS width,
-              |  (CASE WHEN length(text) >= 2 THEN ord(substr(text, 2, 1)) ELSE 1 END % 64) + 1 AS height,
-              |  CAST(length(text) // 256 + 1 AS INTEGER) AS n_frames,
-              |  ${(0 until 8).map(i =>
-                   s"CASE WHEN length(text) > $i THEN ord(substr(text, ${i + 1}, 1)) ELSE 0 END / 128.0 AS f$i")
-                   .mkString(",\n  ")}
-              |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some {
+        // signed byte p (1-based) of the UTF-8 encoding, via the hex
+        // string (TRY_CAST: no error on short payloads; the CASE guards
+        // supply the stub's defaults)
+        def ub(p: Int) =
+          s"TRY_CAST(concat('0x', substr(hx, ${2 * p - 1}, 2)) AS INTEGER)"
+        def sb(p: Int) =
+          s"(CASE WHEN ${ub(p)} > 127 THEN ${ub(p)} - 256 ELSE ${ub(p)} END)"
+        s"""WITH b AS (
+           |  SELECT doc_id, hex(encode(text)) AS hx,
+           |         octet_length(encode(text)) AS nb
+           |  FROM documents)
+           |SELECT doc_id,
+           |  (abs(CASE WHEN nb >= 1 THEN ${sb(1)} ELSE 1 END) % 64) + 1 AS width,
+           |  (abs(CASE WHEN nb >= 2 THEN ${sb(2)} ELSE 1 END) % 64) + 1 AS height,
+           |  CAST(nb // 256 + 1 AS INTEGER) AS n_frames,
+           |  ${(0 until 8).map(i =>
+                s"(CASE WHEN nb > $i THEN ${sb(i + 1)} ELSE 0 END) / 128.0 AS f$i")
+                .mkString(",\n  ")}
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
   )
 }

@@ -58,19 +58,54 @@ class TextAndAggSpec extends AnyFunSuite with SparkTestBase {
     assert(fp(1L) !== fp(3L))
   }
 
-  test("documents corpus is pure ASCII (mm_* oracles equate byte and char math)") {
-    // mm_framesample / mm_decode oracles compare Spark byte-level math
-    // (octet_length, signed-byte arithmetic) against DuckDB character-level
-    // math (length, ord) — equivalent only while every text byte is ASCII.
-    // Pin that precondition so a future corpus change fails loudly here
-    // instead of silently hash-mismatching in CORRECTNESS.
-    Seq(SF, "/root/testdata/sf0.01").foreach { dir =>
-      val nonAscii = spark.read.parquet(s"$dir/documents.parquet")
-        .filter(octet_length(col("text")) =!= length(col("text"))
-          || col("text").rlike("[^\\x00-\\x7F]"))
-        .count()
-      assert(nonAscii === 0L, s"$dir documents contain non-ASCII text")
-    }
+  test("mm_* byte/char contracts hold on multibyte text (no ASCII precondition)") {
+    // The mm_* oracles are spelled byte-explicit (mm_ingest/framesample/
+    // decode) or codepoint-based (mm_chunks/resize) on BOTH engines, so
+    // they need no ASCII corpus pin anymore. Pin the ENGINE half of that
+    // contract on strings where bytes ≠ chars ≠ codepoint-count: 2-byte
+    // Latin, 3-byte CJK, and a 4-byte astral emoji (constructed from
+    // codepoints — immune to source-file encoding). tools/mb_oracle_check
+    // .py replays the full DuckDB compare on a multibyte corpus.
+    val eAcute = new String(Character.toChars(0xE9))       // é (2 bytes)
+    val cjk = new String(Array(0x65E5, 0x672C, 0x8A9E).flatMap(Character.toChars)) // 日本語 (9 bytes)
+    val party = new String(Character.toChars(0x1F389))     // 🎉 (4 bytes)
+    val rows = Seq(
+      (1L, s"h${eAcute}llo", "x"),   // 5 chars, 6 bytes
+      (2L, cjk, "x"),                // 3 chars, 9 bytes
+      (3L, party + "emoji", "x"),    // 6 chars, 9 bytes
+      (4L, "", "x"))                 // empty: stub defaults
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb").toString
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // mm_decode: width derives from the FIRST UTF-8 BYTE (signed), not
+    // the first character's codepoint
+    val dec = SparkEntry.queries("mm_decode")(spark, dir)
+      .select("doc_id", "width", "n_frames").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    def w(b: Int) = (math.abs(b.toByte.toInt) % 64) + 1
+    assert(dec(1L) === ((w('h'), 1)))
+    assert(dec(2L) === ((w(0xE6), 1)))  // 日 = E6 97 A5
+    assert(dec(3L) === ((w(0xF0), 1)))  // astral lead byte
+    assert(dec(4L) === ((w(1), 1)))     // empty payload default byte 1
+
+    // mm_framesample: frame count follows BYTES (octet_length)
+    val fs = SparkEntry.queries("mm_framesample")(spark, dir)
+      .groupBy("doc_id").agg(max("n_frames").as("nf")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fs === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1))
+
+    // mm_chunks / mm_resize: codepoint math — chunk_len counts CHARS
+    val ch = SparkEntry.queries("mm_chunks")(spark, dir)
+      .select("doc_id", "chunk_len").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ch === Map(1L -> 5, 2L -> 3, 3L -> 6)) // doc 4 has no chunks
+    val rz = SparkEntry.queries("mm_resize")(spark, dir)
+      .select("doc_id", "width").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // ascii() = codepoint on both engines (astral included)
+    assert(rz(2L) === (0x65E5 % 64) + 1)
+    assert(rz(3L) === (0x1F389 % 64) + 1)
   }
 
   test("approx_count_distinct is within its accuracy bound of exact") {
