@@ -77,7 +77,26 @@ object Dedup {
     * corpora with no hot shingle (driver corpus max df is 1.4% of docs)
     * the guard is a no-op and results are bit-identical to the uncapped
     * form (oracle-checked); DedupStressSpec pins the near-linear
-    * behavior under a planted ubiquitous shingle. */
+    * behavior under a planted ubiquitous shingle.
+    *
+    * THE GUARD'S TAIL, quantified (the viability law): a shingle with df
+    * just UNDER the cap still contributes C(df, 2) candidate rows, so the
+    * worst-case candidate space is Σ_s C(df_s, 2) ≤ H·(maxDocFrac·n)²/2
+    * for H just-under-cap shingles — still QUADRATIC in n at fixed
+    * maxDocFrac. Exact Jaccard is therefore viable while the df census
+    * (the `hot` aggregate below, which you get for free) shows
+    * Σ df_s² within the shuffle budget. Measured on the driver corpus:
+    * Σ df² = 108·n at 500 docs, 558·n at 5000 (max df 1.4% of n — the
+    * guard never fires; candidate rows ≈ Σ df²/2 track dedup_ngram's
+    * measured 7.5× wall at 10× data). It is NOT viable on
+    * adversarial/boilerplate corpora where many shingles sit near the
+    * cap — Σ df² → H·(0.1n)², the quadratic ceiling: there,
+    * (a) lower maxDocFrac (the cap is the knob: candidates scale with
+    * its square), or (b) switch blocking to [[minhashPairs]] — its
+    * banded candidates are r-way hash agreements, not df² expansions,
+    * with recall given by the band law instead of the df census.
+    * DedupStressSpec's just-under-cap case pins the C(df, 2) bound
+    * exactly. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,
                         maxDocFrac: Double = 0.1): DataFrame = {

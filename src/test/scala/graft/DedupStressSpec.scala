@@ -46,6 +46,35 @@ class DedupStressSpec extends AnyFunSuite with SparkTestBase {
     assert(capped === 1L)
   }
 
+  test("just-under-cap hot shingle: candidate tail is exactly C(df, 2)") {
+    // The guard drops shingles with df > max(0.1n, 5); one sitting JUST
+    // UNDER the cap survives and contributes C(df, 2) candidate pairs —
+    // the quantified tail of the scaladoc's viability law. Corpus:
+    // n = 200 docs (cap = 20), docs 0..19 share a planted 3-word shingle
+    // (df = 20, survives), all other shingles unique per doc.
+    val n = 200
+    val hot = "hot shared trigram"
+    val docs = (0L until n.toLong).map { id =>
+      val tail = (0 until 8).map(w => s"u${id}q$w").mkString(" ")
+      (id, if (id < 20) s"$hot $tail" else tail)
+    }.toDF("doc_id", "text")
+    val cand = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every candidate pair flows through the hot shingle: exactly C(20,2)
+    val viaHot = (for {
+      a <- 0L until 20L; b <- (a + 1) until 20L
+    } yield (a, b)).toSet
+    assert(cand === viaHot, s"tail must be C(df,2)=${viaHot.size}, got ${cand.size}")
+    // one more shared doc pushes df over the cap and the tail vanishes
+    val docs2 = (0L until n.toLong).map { id =>
+      val tail = (0 until 8).map(w => s"u${id}q$w").mkString(" ")
+      (id, if (id < 21) s"$hot $tail" else tail)
+    }.toDF("doc_id", "text")
+    val cand2 = Dedup.ngramJaccardPairs(docs2, "doc_id", "text", threshold = 0.0)
+      .count()
+    assert(cand2 === 0L, "df just over the cap must be dropped entirely")
+  }
+
   test("10k-doc ubiquitous-shingle corpus completes near-linearly with the cap") {
     // Uncapped this is a 5*10^7-group self-join; capped it is linear in
     // docs. A wall-clock assert would be flaky — the linearity evidence is
