@@ -34,10 +34,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: JVM/codegen/scan-path initialization off the clock.
+    // (first table that exists — partial-table scaling dirs have no
+    // lineitem)
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    Seq("lineitem", "documents", "events", "embeddings")
+      .map(t => new java.io.File(s"$sfDir/$t.parquet")).find(_.exists())
+      .foreach(f => spark.read.parquet(f.getPath).count())
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (scaling decades over
+    // partial table sets, e.g. the 100x documents/events/embeddings dir,
+    // where the TPC-H-family queries have no inputs); driver runs use
+    // the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // A query that throws is recorded as -1, never as a normal-looking
     // elapsed time (a failure must be distinguishable in the JSON).
     //
