@@ -42,7 +42,7 @@ object Embeddings {
   /** Per-vector int8 scale: 127 / max|xᵢ|, 0 for the zero vector — the
     * ONE spelling of the quantization contract, shared by [[quantizeI8]]
     * and [[knnI8]] (and mirrored verbatim in their DuckDB oracles). */
-  private def i8Scale(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[operators] def i8Scale(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = maxAbs(v)
     when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
   }

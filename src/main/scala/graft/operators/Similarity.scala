@@ -74,19 +74,45 @@ object Similarity {
       k)
   }
 
+  /** Rows the coarse-quantizer k-means is fit on: ~64 training points per
+    * centroid (a small multiple of the classical 39-points-per-cell rule),
+    * floored so tiny corpora always fit on everything. At nlist = √n this
+    * is 64·√n rows — a vanishing fraction of a growing corpus. */
+  private[operators] def fitSampleSize(nlist: Int): Long =
+    math.max(64L * nlist, 10000L)
+
   /** Fit the IVF coarse quantizer (MLlib k-means, fixed seed) and assign
     * every corpus vector to its cell.
+    *
+    * The k-means runs on a DETERMINISTIC HASH SAMPLE of ~[[fitSampleSize]]
+    * rows, not the full corpus: Lloyd iterations (and the k-means|| init
+    * rounds) each scan their input, so a full-corpus fit is
+    * O(iters·n·nlist·dim) — measured 1873 s at n = 2M, nlist = √n, and the
+    * new bottleneck at 10⁸ vectors. Centroid quality needs only a few
+    * dozen points per cell, so the sample fit plus ONE full-corpus
+    * assignment pass keeps the build linear in n with a small constant.
+    * The sample is `xxhash64(id) % 1e6 < threshold` — reproducible across
+    * sessions/executors (no RNG), so the same corpus always yields the
+    * same codebook (SimilaritySpec pins build ≡ in-memory round-trip).
+    * @param n corpus row count (the caller already has it for the manifest)
     * @return (codebook (cell, ctr), cells (id, emb, cell)) */
-  private def ivfFit(c: DataFrame, nlist: Int,
-                     maxIter: Int): (DataFrame, DataFrame) = {
+  private def ivfFit(c: DataFrame, nlist: Int, maxIter: Int,
+                     n: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val s = c.sparkSession
     import s.implicits._
     val fv = c.withColumn("__fv", array_to_vector(col("emb").cast("array<double>")))
+    val target = fitSampleSize(nlist)
+    // 1.2× headroom: the hash sample is binomial around the target; the
+    // fit only needs "enough points per cell", never an exact count
+    val fitSrc =
+      if (n <= target) fv
+      else fv.filter(pmod(xxhash64(col("id")), lit(1000000L)) <
+        lit(math.min(1000000L, (1200000L * target) / n)))
     val fitted = new KMeans().setK(nlist).setSeed(42).setMaxIter(maxIter)
       .setFeaturesCol("__fv").setPredictionCol("cell")
-      .fit(fv)
+      .fit(fitSrc)
     val codebook = fitted.clusterCenters.zipWithIndex
       .map { case (ctr, j) => (j, ctr.toArray) }.toSeq
       .toDF("cell", "ctr")
@@ -124,31 +150,101 @@ object Similarity {
       k)
   }
 
-  /** OFFLINE index build: fit the coarse quantizer and persist the two
-    * index artifacts under `indexDir` —
+  /** One-pass corpus statistics for the index manifest: (row count,
+    * content fingerprint, max vector width). The fingerprint is
+    * `bit_xor(xxhash64(id, emb))` — order-independent, overflow-free, and
+    * sensitive to any id OR embedding mutation, so a replaced corpus
+    * under the same tag can never silently serve a stale index. */
+  private def corpusStats(c: DataFrame): (Long, Long, Int) = {
+    val r = c.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("id"), col("emb"))), lit(0L)),
+      coalesce(max(size(col("emb"))), lit(0))).head()
+    (r.getLong(0), r.getLong(1), r.getInt(2))
+  }
+
+  /** The stored-index manifest: what [[ivfBuild]] indexed. Validated by
+    * [[ivfBuildIfAbsent]] before an existing index is trusted. */
+  final case class IvfManifest(rows: Long, fingerprint: Long, nlist: Int, dim: Int)
+
+  private def manifestPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "manifest.json")
+
+  private def writeManifest(indexDir: String, m: IvfManifest): Unit = {
+    val json = s"""{"rows":${m.rows},"fingerprint":${m.fingerprint},""" +
+      s""""nlist":${m.nlist},"dim":${m.dim}}"""
+    java.nio.file.Files.createDirectories(manifestPath(indexDir).getParent)
+    java.nio.file.Files.write(manifestPath(indexDir), json.getBytes("UTF-8"))
+  }
+
+  private[graft] def readManifest(indexDir: String): Option[IvfManifest] = {
+    val p = manifestPath(indexDir)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      def f(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1))
+      for (r <- f("rows"); fp <- f("fingerprint"); nl <- f("nlist"); d <- f("dim"))
+        yield IvfManifest(r.toLong, fp.toLong, nl.toInt, d.toInt)
+    }
+  }
+
+  /** OFFLINE index build: fit the coarse quantizer and persist the index
+    * artifacts under `indexDir` —
     *  - `codebook.parquet` (cell, ctr): nlist×dim, read + broadcast at
     *    serve time;
     *  - `cells.parquet` (id, emb), PARTITIONED BY cell: the corpus
     *    bucketed by cell, so a probe with a broadcast cell set prunes
     *    the scan to the probed partitions (dynamic partition pruning —
     *    at 100 TB this is the difference between scanning nprobe/nlist
-    *    of the corpus and all of it).
+    *    of the corpus and all of it);
+    *  - `cells_i8.parquet` (id, qcode, scale), PARTITIONED BY cell: the
+    *    int8-quantized corpus ([[Embeddings.quantizeI8]]'s contract —
+    *    per-vector scale 127/max|xᵢ|), ~4× smaller than the float cells.
+    *    [[ivfProbeI8]] serves from this artifact alone: the per-vector
+    *    scale cancels in cosine, so candidate scores need no float read;
+    *  - `manifest.json`: (rows, fingerprint, nlist, dim) of the corpus
+    *    this index was built from — [[ivfBuildIfAbsent]]'s staleness
+    *    check.
     * Run once per corpus snapshot (the offline-fit contract); every
-    * serving batch then pays only [[ivfProbe]]. */
+    * serving batch then pays only [[ivfProbe]]/[[ivfProbeI8]]. */
   def ivfBuild(corpus: DataFrame, indexDir: String, nlist: Int,
                maxIter: Int = 5): Unit = {
-    val (codebook, cells) = ivfFit(corpus.toDF("id", "emb"), nlist, maxIter)
+    val c = corpus.toDF("id", "emb")
+    val (n, fp, dim) = corpusStats(c)
+    require(n > 0, "ivfBuild: empty corpus")
+    val (codebook, cells) = ivfFit(c, nlist, maxIter, n)
     codebook.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
-    cells.write.mode("overwrite").partitionBy("cell")
+    val persisted = cells.localCheckpoint(true) // one assignment pass feeds both writes
+    persisted.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells.parquet")
+    persisted
+      .withColumn("scale", Embeddings.i8Scale(col("emb")))
+      .withColumn("qcode",
+        quantize(col("emb"), col("scale")).cast("array<tinyint>"))
+      .select("id", "qcode", "scale", "cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells_i8.parquet")
+    writeManifest(indexDir, IvfManifest(n, fp, nlist, dim))
   }
 
-  /** [[ivfBuild]] only if the index artifacts are not already present —
-    * the registered query's spelling of "fit offline once, probe every
-    * serving batch". */
+  /** [[ivfBuild]] unless a VALID index for exactly this corpus is already
+    * present — the registered query's spelling of "fit offline once,
+    * probe every serving batch". Validity = the stored manifest matches
+    * the corpus's (rows, fingerprint) and the requested nlist; anything
+    * else (no manifest, a pre-manifest artifact, a mutated or replaced
+    * corpus under the same tag) triggers a rebuild rather than silently
+    * serving a stale index. The check costs one 2-column corpus scan —
+    * cheap next to a probe, trivially so next to the fit it guards; a
+    * deployment that versions corpus snapshot paths can skip it by
+    * calling [[ivfBuild]] exactly once per snapshot. */
   def ivfBuildIfAbsent(corpus: DataFrame, indexDir: String, nlist: Int): Unit = {
-    val marker = new java.io.File(s"$indexDir/cells.parquet/_SUCCESS")
-    if (!marker.exists()) ivfBuild(corpus, indexDir, nlist)
+    val c = corpus.toDF("id", "emb")
+    val complete = Seq("cells.parquet", "cells_i8.parquet")
+      .forall(a => new java.io.File(s"$indexDir/$a/_SUCCESS").exists())
+    val valid = complete && readManifest(indexDir).exists { m =>
+      val (n, fp, _) = corpusStats(c)
+      m.rows == n && m.fingerprint == fp && m.nlist == nlist
+    }
+    if (!valid) ivfBuild(corpus, indexDir, nlist)
   }
 
   /** ONLINE probe against a stored index: read + broadcast the codebook,
@@ -163,22 +259,76 @@ object Similarity {
     ivfRank(cells, codebook, queries, k, nprobe)
   }
 
+  /** ONLINE probe from the int8 index artifact alone — the 4×-less-IO
+    * serving tier ([[ivfBuild]] stores `cells_i8.parquet` next to the
+    * float cells):
+    *  1. rank cells per query against the broadcast float codebook and
+    *     prune the `cells_i8` scan to the probed partitions (same DPP
+    *     shape as [[ivfProbe]], reading int8 codes instead of doubles);
+    *  2. coarse rank: INTEGER-EXACT cosine between the quantized query
+    *     and the stored codes (products ≤ 127²·dim — exact in double, so
+    *     coarse scores are bit-reproducible across retries/partitionings,
+    *     like [[Embeddings.knnI8]]), keep `k·rescoreFactor` candidates
+    *     through the bounded top-k buffer;
+    *  3. rescore the candidates at full query precision — cosine(float
+    *     query, stored codes): the per-vector corpus scale cancels in
+    *     cosine, so this recovers everything short of the corpus's own
+    *     quantization error (~1e-3 in cos) with NO float-cell read —
+    *     and re-rank to the final k.
+    * Output shape matches [[knn]]. */
+  def ivfProbeI8(s: SparkSession, indexDir: String, queries: DataFrame,
+                 k: Int, nprobe: Int, rescoreFactor: Int = 4): DataFrame = {
+    val codebook = s.read.parquet(s"$indexDir/codebook.parquet")
+    val codes = s.read.parquet(s"$indexDir/cells_i8.parquet")
+      .select(col("id").as("neighbor_id"), col("qcode").as("c_code"), col("cell"))
+    val q = queries.toDF("q_id", "q_emb")
+    val qq = q.select(col("q_id"), col("q_emb").cast("array<double>").as("q_emb"),
+      quantize(col("q_emb"), Embeddings.i8Scale(col("q_emb")))
+        .cast("array<double>").as("q_code"))
+    val probed = probeCells(qq.select("q_id", "q_emb"), codebook, nprobe)
+      .join(qq.select("q_id", "q_code"), "q_id")
+    val coarse = rankTopK(
+      codes.join(broadcast(probed), Seq("cell"))
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .select(col("q_id"), col("neighbor_id"),
+          cosine(col("q_code"), col("c_code").cast("array<double>")).as("cos")),
+      k * rescoreFactor)
+    // rescore: candidates live in the probed cells, so the second codes
+    // read is pruned to the same partitions; the candidate set itself is
+    // tiny (k·rescoreFactor per query) and broadcast
+    val cand = coarse.select("q_id", "neighbor_id")
+    rankTopK(
+      codes.join(broadcast(probed.select("cell").distinct()), Seq("cell"))
+        .join(broadcast(cand), Seq("neighbor_id"))
+        .join(broadcast(qq.select("q_id", "q_emb")), Seq("q_id"))
+        .select(col("q_id"), col("neighbor_id"),
+          cosine(col("q_emb"), col("c_code").cast("array<double>")).as("cos")),
+      k)
+  }
+
   /** Session-scoped index location for a dataset tag: under
     * java.io.tmpdir, namespaced by the Spark application id (no cross-JVM
-    * collisions) and the tag hash (one index per dataset per session). */
-  def ivfIndexDir(s: SparkSession, tag: String): String =
+    * collisions) and a 128-bit digest of the tag (a 32-bit `hashCode`
+    * could collide two dataset dirs within one session; MD5 cannot in
+    * practice — and [[ivfBuildIfAbsent]]'s manifest check backstops even
+    * that). */
+  def ivfIndexDir(s: SparkSession, tag: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${s.sparkContext.applicationId}/ivf_${Integer.toHexString(tag.hashCode)}")
-      .getAbsolutePath
+      s"graft_${s.sparkContext.applicationId}/ivf_$md5").getAbsolutePath
+  }
 
   /** Self-contained IVF approximate top-k (fit + probe in one plan, no
     * persisted artifacts) — the parameter-sweep form RecallBench drives;
     * production serving uses [[ivfBuild]]/[[ivfProbe]]. Identical output
     * to building then probing the same corpus (SimilaritySpec pins the
-    * round-trip). */
+    * round-trip; both paths share [[ivfFit]] incl. its deterministic
+    * sample). */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val (codebook, cells) = ivfFit(corpus.toDF("id", "emb"), nlist, maxIter = 5)
+    val c = corpus.toDF("id", "emb")
+    val (codebook, cells) = ivfFit(c, nlist, maxIter = 5, n = c.count())
     ivfRank(cells.select("id", "emb", "cell"), codebook, queries, k, nprobe)
   }
 

@@ -83,6 +83,25 @@ object SimilarityQueries {
       },
       None),
 
+    // The same stored index served from its int8 artifact alone
+    // (cells_i8.parquet: quantized codes + per-vector scale, ~4× smaller
+    // than the float cells): integer-exact coarse ranking over the codes,
+    // then a full-query-precision rescore of the top k·4 candidates —
+    // no float-cell read anywhere (the corpus scale cancels in cosine).
+    // This is the IO-bound 100 TB serving tier; KnnScaleBench measures it
+    // against the float probe and exact. Sketch-family → rows-only check;
+    // recall and round-trip are pinned in SimilaritySpec.
+    Q("sim_knn_ivf_i8",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val idx = Similarity.ivfIndexDir(s, dir)
+        Similarity.ivfBuildIfAbsent(e, idx, nlist = 16)
+        Similarity.ivfProbeI8(s, idx, e.filter(col("vec_id") % 50 === 0), K, nprobe = 2)
+          .select(col("q_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Approximate top-k via multi-table hyperplane LSH (8 tables × 8 bits).
     Q("sim_knn_lsh",
       (s, dir) => {
