@@ -170,6 +170,32 @@ object WeatherQueries {
       },
       Some(rainDailySql)),
 
+    // The wx_rain_daily_stream pipeline KILLED after 2 of 4 chunk
+    // arrivals and RESTARTED from the same checkpoint + sink dirs
+    // (WeatherStream.drainToParquetRestart): checkpoint recovery of the
+    // flatMapGroupsWithState rain state + the file-sink metadata log must
+    // reproduce the uninterrupted run exactly, so this query shares the
+    // BATCH oracle SQL — making fault recovery a driver-checked
+    // CORRECTNESS row, not only a scalatest fact (StreamingSpec pins the
+    // same drill at fixture scale).
+    Q("wx_rain_daily_stream_restart",
+      (s, dir) => {
+        import graft.streaming.WeatherStream
+        val readings = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val input = WeatherStream.chunkedFileFeed(
+          readings, WeatherStream.stagingDir("wx_rain_restart", dir))
+        withShufflePartitions(s, 8) {
+          WeatherStream.drainToParquetRestart(
+            WeatherStream.rainDailyStream(input.typed).toDF(),
+            "wx_rain_stream_restart", stopAfter = 2, input)
+        }
+          .select(col("event_id"), col("user_id"), col("day"),
+            col("total_rain_mm"), col("daily_rain_mm"), col("rain_rate_mmh"))
+          .orderBy("event_id")
+      },
+      Some(rainDailySql)),
+
     // O4: the barometer HTML-scrape parse. The reference slices 5-6 chars
     // before the literal 'hPa' and re-parses on NaN (:177-183); the regex
     // subsumes both digit widths. The HTML is reconstructed from the

@@ -264,6 +264,37 @@ object WeatherStream {
     readParquetSink(s, base)
   }
 
+  /** [[drainToParquet]] with a KILL-AND-RESTART in the middle: the first
+    * query is stopped after `stopAfter` chunk arrivals, a SECOND query is
+    * started over the SAME checkpoint + sink dirs, and the remaining
+    * chunks drain through it. Recovery is Structured Streaming's own
+    * machinery — the state store restores per-key state, the file-sink
+    * metadata log keeps output exactly-once across the restart — so the
+    * result must be byte-identical to an uninterrupted run (and to the
+    * batch spelling; the registered `*_restart` query shares the batch
+    * oracle). This is the fault-tolerance fact a production deployment
+    * actually relies on, expressed as a driver-checked query rather than
+    * only a scalatest. */
+  def drainToParquetRestart(df: DataFrame, name: String, stopAfter: Int,
+                            feeds: ChunkedFeed*): DataFrame = {
+    val s = df.sparkSession
+    val base = new java.io.File(tmpRoot(s), s"sink_$name")
+    wipe(base)
+    val q1 = startParquetSink(df, base)
+    try {
+      var i = 0
+      var advanced = true
+      while (i < stopAfter && advanced) {
+        advanced = feeds.foldLeft(false)((any, f) => f.advance() || any)
+        if (advanced) q1.processAllAvailable()
+        i += 1
+      }
+    } finally q1.stop() // kill mid-feed: later chunks have not arrived
+    val q2 = startParquetSink(df, base) // SAME dirs: checkpoint recovery
+    try runChunked(q2, feeds) finally q2.stop()
+    readParquetSink(s, base)
+  }
+
   /** One staging directory per (application, feed name, dataset) under
     * java.io.tmpdir, REUSED across invocations within a session
     * (overwrite-mode writes reset it): Bench/Verify invoke each streaming
