@@ -46,7 +46,14 @@ object Bench {
     // where the TPC-H-family queries have no inputs); driver runs use
     // the full registry.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd ONLY name would otherwise silently yield an empty/partial
+    // run that looks like a legitimate benchmark result
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // A query that throws is recorded as -1, never as a normal-looking

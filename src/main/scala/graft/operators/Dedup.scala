@@ -464,6 +464,14 @@ object Dedup {
     * the corpus again (raise for bigger decades). */
   val EmbedBitsMax = 20
 
+  /** [[embedPairsBanded]]'s default knobs, NAMED so the generated DuckDB
+    * oracle derives from the same constants the engine defaults to — a
+    * default change can never desynchronize the twin silently (it either
+    * tracks or the oracle compare fails loudly). */
+  val EmbedBands = 4
+  val EmbedDim = 64
+  val EmbedOccupancy = 16L
+
   /** The bits-vs-corpus-size law shared by [[embedPairsBanded]] and its
     * generated DuckDB oracle: smallest b in 1..[[EmbedBitsMax]] with
     * targetOccupancy·2^b ≥ n — ceil(log₂(n/targetOccupancy)) spelled as
@@ -503,17 +511,34 @@ object Dedup {
     * ≥ 0.999 for true near-dups (cos ≥ 0.99) even at bits = 20, by
     * design NOT a recall path for far pairs (cos ≈ threshold ≈ 0.35) —
     * those are what the bound deliberately prunes; DedupSpec's
-    * planted-near-dup case is the recall guard. Null vectors are
-    * excluded on both engines. */
+    * planted-near-dup case is the recall guard. THE OUTPUT CONTRACT IS
+    * THEREFORE APPROXIMATE below the near-dup regime: a mid-range pair
+    * (cos between `threshold` and ≈0.99) appears only if it collides in
+    * a band, so the result is a plane-seed-dependent SUBSET of
+    * [[embedPairs]]' exact label-blocked pair set — by design (those
+    * pairs are what the bound prunes to stay linear), and mirrored
+    * exactly by the generated oracle. Consumers needing ALL pairs ≥ a
+    * mid-range threshold must use [[embedPairs]] with a block key they
+    * can afford quadratically.
+    *
+    * Input hygiene, identical on both engines: null vectors and vectors
+    * with any non-finite element are excluded up front (sign-bit buckets
+    * diverge cross-engine on NaN — Spark's `NaN >= 0` is false while
+    * DuckDB orders NaN above all doubles). The check is the codegen'd
+    * finiteness of Σxᵢ² (finite iff every element is finite — a sum of
+    * squares cannot cancel), not an interpreted per-element lambda. */
   def embedPairsBanded(df: DataFrame, idCol: String, vecCol: String,
                        blockCols: Seq[String], threshold: Double,
-                       bands: Int = 4, targetOccupancy: Long = 16,
-                       dim: Int = 64): DataFrame = {
+                       bands: Int = EmbedBands,
+                       targetOccupancy: Long = EmbedOccupancy,
+                       dim: Int = EmbedDim): DataFrame = {
     import graft.functions.VectorFunctions.{cosine, dot}
     val ps = Similarity.planes(bands, EmbedBitsMax, dim)
+    val sumSq = dot(col(vecCol), col(vecCol))
     // materialized once: feeds the count, BOTH banding sides, and both
     // verify joins (same iterative-plan hygiene as ngramJaccardPairs)
-    val base = df.filter(col(vecCol).isNotNull)
+    val base = df.filter(col(vecCol).isNotNull &&
+        !isnan(sumSq) && sumSq =!= lit(Double.PositiveInfinity))
       .select((idCol +: vecCol +: blockCols).map(col): _*)
       .localCheckpoint(true)
     val bits = embedBits(base.count(), targetOccupancy)

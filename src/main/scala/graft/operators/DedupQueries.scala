@@ -301,6 +301,15 @@ object DedupQueries {
     // double fold both engines, the bit-count law is pure integer
     // comparisons on both, and the cosine verify is bit-identical
     // (SimilarityQueries.cosineSql).
+    //
+    // OUTPUT CONTRACT — approximate below the near-dup regime: recall is
+    // designed for true near-dups (cos >= ~0.99, the planted-dup spec);
+    // mid-range pairs (cos between the 0.35 threshold and ~0.99) appear
+    // only when they band-collide, so the result is a plane-seed-pinned
+    // SUBSET of the exact label-blocked pair set — the pruning IS the
+    // linear-scale bound, the oracle mirrors it row-for-row, and
+    // Dedup.embedPairs remains the exact (quadratic-per-block) spelling
+    // for consumers who need every mid-range pair.
     Q("dedup_embed",
       (s, dir) => {
         val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
@@ -321,7 +330,12 @@ object DedupQueries {
     * so the oracle tracks the engine's knob at ANY corpus size, not just
     * the driver's. */
   private lazy val embedBandedSql: String = {
-    val (bands, dim, occ) = (4, 64, 16L)
+    // derived from the SAME named constants the engine defaults to
+    // (Dedup.EmbedBands/EmbedDim/EmbedOccupancy, like EmbedBitsMax
+    // already was): an engine-side default change tracks automatically
+    // or fails the oracle compare loudly — never a silent desync
+    val (bands, dim, occ) =
+      (Dedup.EmbedBands, Dedup.EmbedDim, Dedup.EmbedOccupancy)
     val bitsMax = Dedup.EmbedBitsMax
     val ps = Similarity.planes(bands, bitsMax, dim)
     def dotPlane(p: Int): String = {
@@ -338,8 +352,14 @@ object DedupQueries {
     val bandCols = (0 until bands).map(b => s"${bandVal(b)} AS b$b").mkString(",\n    ")
     val bandCase = (0 until bands).map(b => s"WHEN $b THEN b$b").mkString(" ")
     s"""WITH e AS (
-       |  SELECT vec_id, label, embedding FROM embeddings
-       |  WHERE embedding IS NOT NULL),
+       |  SELECT vec_id, label,
+       |    CASE WHEN len(embedding) = $dim THEN embedding
+       |         ELSE error('dedup_embed oracle: embedding dim <> $dim') END
+       |      AS embedding
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |    AND isfinite(list_sum(list_transform(range(1, len(embedding) + 1),
+       |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
        |nb AS (
        |  SELECT CASE $bitsCase ELSE $bitsMax END AS bits
        |  FROM (SELECT count(*) AS nn FROM e)),
@@ -350,7 +370,7 @@ object DedupQueries {
        |banded AS (
        |  SELECT vec_id, label, bi.band_idx,
        |    CASE bi.band_idx $bandCase END AS band_val
-       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) bi),
+       |  FROM sig CROSS JOIN (SELECT unnest(${(0 until bands).mkString("[", ", ", "]")}) AS band_idx) bi),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2, x.label
        |  FROM banded x JOIN banded y

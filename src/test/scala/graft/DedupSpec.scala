@@ -206,6 +206,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"banded blocking dropped planted near-dups: ${expected -- pairs}")
   }
 
+  test("embedPairsBanded excludes null and non-finite vectors") {
+    // a NaN element would bucket differently per engine (Spark's
+    // NaN >= 0 is false; DuckDB orders NaN above all doubles) — both
+    // sides therefore exclude non-finite vectors up front, checked via
+    // the codegen'd finiteness of sum(x_i^2)
+    val good = Seq(
+      (1L, "a", Array(1.0, 2.0, 0.0, 0.0)),
+      (2L, "a", Array(1.0, 2.0, 1e-7, 0.0))).toDF("vec_id", "label", "embedding")
+    val bad = Seq(
+      (3L, "a", Array(Double.NaN, 2.0, 0.0, 0.0)),
+      (4L, "a", Array(1.0, Double.PositiveInfinity, 0.0, 0.0)),
+      (5L, "a", Array(1.0, Double.NegativeInfinity, 0.0, 0.0)),
+      (6L, "a", null.asInstanceOf[Array[Double]])).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embedPairsBanded(good.union(bad), "vec_id", "embedding",
+        Seq("label"), threshold = 0.9, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"non-finite vectors leaked into the pair set: $pairs")
+  }
+
   test("embedBits integer law: occupancy-16 buckets track corpus size") {
     // smallest b with 16·2^b >= n — spot-pin the law the oracle mirrors,
     // including the exact-power-of-two edges float log2 would get wrong
