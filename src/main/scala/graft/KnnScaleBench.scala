@@ -78,15 +78,20 @@ object KnnScaleBench {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       def exact = operators.Similarity.knnTopK(corpus, base, K)
       def probe = operators.Similarity.ivfProbe(spark, idx, base, K, nprobe)
+      // the int8 serving tier: same index dir, cells_i8 artifact only
+      // (integer-exact coarse + full-query-precision rescore)
+      def probeI8 = operators.Similarity.ivfProbeI8(spark, idx, base, K, nprobe)
 
       val tExact = timed2(exact.write.format("noop").mode("overwrite").save())
       val tProbe = timed2(probe.write.format("noop").mode("overwrite").save())
-      val recall = {
-        val ex = pairs(exact); (ex & pairs(probe)).size.toDouble / ex.size
-      }
+      val tProbeI8 = timed2(probeI8.write.format("noop").mode("overwrite").save())
+      val ex = pairs(exact)
+      val recall = (ex & pairs(probe)).size.toDouble / ex.size
+      val recallI8 = (ex & pairs(probeI8)).size.toDouble / ex.size
       s"""{"dir":"$dir","corpus":$n,"nlist":$nlist,"nprobe":$nprobe,""" +
         s""""fit_sec":${fmt(fitSec)},"exact_sec":${fmt(tExact)},""" +
-        s""""ivf_probe_sec":${fmt(tProbe)},"recall_at5":${fmt(recall, 3)}}"""
+        s""""ivf_probe_sec":${fmt(tProbe)},"recall_at5":${fmt(recall, 3)},""" +
+        s""""ivf_probe_i8_sec":${fmt(tProbeI8)},"recall_i8_at5":${fmt(recallI8, 3)}}"""
     }
     println(s"""{"knn_serving":${results.mkString("[", ",", "]")},"queries":40,"k":$K,"planted_copies":$Copies}""")
     spark.stop()

@@ -73,13 +73,25 @@ object ScaleData {
     if (only("documents")) {
       val docs = read("documents")
       val dk = keySpan(docs, "doc_id")
+      // Copy suffix separators cycle ASCII '~' (1 UTF-8 byte), 'µ'
+      // (2 bytes), '€' (3 bytes): a third of the scaled corpus is
+      // MULTIBYTE text, so the byte-explicit oracle family
+      // (mm_* / text_fingerprint / dedup_simhash_verify, de-ASCII'd in
+      // round 6) is exercised end-to-end by every scaling-dir
+      // correctness run, not only by TextAndAggSpec's fixture. The
+      // vocabulary isomorphism is preserved: within a copy every
+      // word-relation is identical to the original, across copies the
+      // (separator, copy-id) suffixes keep vocabularies disjoint.
       write(
         replicate(docs)
           .withColumn("doc_id", col("doc_id") + col("__copy") * dk)
           .withColumn("text",
             when(col("__copy") === 0, col("text"))
               .otherwise(concat_ws(" ",
-                expr("transform(filter(split(text, ' '), w -> w != ''), w -> concat(w, '~', __copy))"))))
+                expr("""transform(filter(split(text, ' '), w -> w != ''),
+                       |  w -> concat(w,
+                       |    CASE __copy % 3 WHEN 1 THEN 'µ' WHEN 2 THEN '€' ELSE '~' END,
+                       |    __copy))""".stripMargin))))
           .withColumn("n_chars", length(col("text")))
           .drop("__copy"),
         "documents")

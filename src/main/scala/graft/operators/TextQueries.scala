@@ -248,28 +248,40 @@ object TextQueries {
                 |ORDER BY doc_id""".stripMargin)
       }),
 
-    // PII/entity scrubbing: regexp mask + match counts — the pre-training
-    // redaction shape (regex lives in codegen'd string expressions; one
-    // scan, no shuffle). The entity pattern fires on this corpus; the
-    // email pattern documents the real-world scrub and proves the
-    // multi-pattern plumbing. DuckDB needs the 'g' flag to match Spark's
-    // replace-all semantics.
+    // PII/entity scrubbing: entity mask + match counts — the pre-training
+    // redaction shape (one scan, no shuffle). Entity masking is TOKEN
+    // level (exact match on space-delimited words), NOT regex \b: Java's
+    // \b is Unicode-aware while RE2's (DuckDB) is ASCII, so the two
+    // engines disagree about a boundary between an ASCII letter and a
+    // multibyte letter ("customerµ1": Java sees r|µ as word|word — no
+    // boundary; RE2 sees word|non-word — boundary), and RE2 has no
+    // lookarounds to spell an explicit one. Exact token equality is the
+    // one boundary rule both engines share, multibyte-proof by
+    // construction (caught by the multibyte scaling corpus). The email
+    // pattern is boundary-free and stays a whole-text regex.
     Q("text_scrub",
       (s, dir) => {
-        val entPat = "\\b(customer|supplier)\\b"
+        val entities = Seq("customer", "supplier")
         val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+        val words = split(col("text"), " ")
+        val isEnt = (w: org.apache.spark.sql.Column) =>
+          w.isin(entities.map(x => x: Any): _*)
         Tables.documents(s, dir)
           .select(col("doc_id"),
-            size(regexp_extract_all(col("text"), lit(entPat), lit(0))).as("n_entities"),
+            size(filter(words, isEnt)).as("n_entities"),
             size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
-            md5(regexp_replace(regexp_replace(col("text"), entPat, "<ENT>"),
+            md5(regexp_replace(
+              array_join(transform(words, w => when(isEnt(w), "<ENT>").otherwise(w)), " "),
               emailPat, "<EMAIL>").cast("binary")).as("masked_md5"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS INTEGER) AS n_entities,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |    w -> w IN ('customer', 'supplier'))) AS INTEGER) AS n_entities,
              |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
-             |  md5(regexp_replace(regexp_replace(text, '\b(customer|supplier)\b', '<ENT>', 'g'),
+             |  md5(regexp_replace(
+             |      array_to_string(list_transform(string_split(text, ' '),
+             |        w -> CASE WHEN w IN ('customer', 'supplier') THEN '<ENT>' ELSE w END), ' '),
              |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS masked_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 

@@ -22,9 +22,16 @@ def canon(df):
     return df
 
 def main(sf_dir, out_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if not (os.path.exists(p) or glob.glob(p)):
+            continue  # partial scaling dirs (e.g. 100x documents/events/embeddings)
+        # driver testdata is a single parquet file; Spark-written scaling
+        # dirs are directories of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
