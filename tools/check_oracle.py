@@ -31,6 +31,19 @@ def main(sf_dir, out_dir):
         # driver testdata is a single parquet file; Spark-written scaling
         # dirs are directories of part files
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        if t == "events":
+            # driver testdata stores ts as TIMESTAMP(NANOS) (DuckDB:
+            # naive TIMESTAMP); Spark-written scaling dirs store the raw
+            # INT64 nanos (Spark cannot write nanos timestamps). Present
+            # both identically by deriving micros the same way
+            # Tables.events does (ts DIV 1000 -> timestamp_micros).
+            kind = con.execute(
+                f"SELECT typeof(ts) FROM '{src}' LIMIT 1").fetchone()[0]
+            if kind == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
+                continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
