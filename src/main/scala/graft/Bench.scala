@@ -28,6 +28,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // This engine's scans carry heavy per-row work (regex, char-gram
+      // hashing, 64-dim vector folds, 1000-query broadcast ranking), so
+      // the right split size is MB not the 128 MB default: a 25 MB
+      // corpus is otherwise ONE task and the whole operator runs on one
+      // core (measured 2622 s -> 86 s on sim_knn at the 100x decade).
+      // openCost=1m keeps many-small-file dirs from collapsing into a
+      // single packed partition for the same reason.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -54,7 +54,17 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // Scaled FACT tables are written as MULTIPLE files: a single-file
+    // 100x table is one parquet row group (default 128 MB block), which
+    // no reader can split — every scan of it runs on ONE core no matter
+    // the cluster, silently serializing exactly the decade the scaling
+    // bench exists to measure. No real landing zone ships a 100x corpus
+    // as one file either. min(64, max(32, copies)) keeps files in the
+    // MB range at every decade without a small-file explosion.
+    val outFiles = math.min(64, math.max(32, copies))
     def write(df: DataFrame, t: String): Unit =
+      df.repartition(outFiles).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def writeDim(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     /** Cross-join with copy ids 0..copies-1 (copy 0 = the original). */
@@ -66,9 +76,9 @@ object ScaleData {
       ((max + roundTo - 1) / roundTo) * roundTo
     }
 
-    // dimensions: verbatim
+    // dimensions: verbatim (small — keep the source layout)
     Seq("region", "nation", "customer", "supplier", "part")
-      .filter(only).foreach { t => write(read(t), t) }
+      .filter(only).foreach { t => writeDim(read(t), t) }
 
     if (only("documents")) {
       val docs = read("documents")

@@ -46,13 +46,29 @@ object Similarity {
         col("col._2").as("neighbor_id"), col("col._1").as("cos"))
   }
 
+  /** Widen a corpus frame to at least the cluster's default parallelism
+    * before per-row work that is MUCH heavier than the bytes scanned.
+    * Exact ranking does |queries| cosine folds + aggregator inserts per
+    * corpus ROW, so a corpus whose parquet footprint fits one input
+    * split (128 MB default) otherwise runs the whole ranking on ONE
+    * core — measured as the single-task bottleneck of the sim_knn
+    * family at the 100× scaling decade (50k vectors ≈ 25 MB = 1 split,
+    * 1000 broadcast queries per row). The round-robin shuffle of those
+    * few corpus MB is trivially amortized by the ranking work it
+    * parallelizes; a corpus already wider than the core count is left
+    * untouched (at 100 TB the scan itself yields thousands of splits). */
+  private def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact brute-force cosine top-k.
     * @param corpus  (id, embedding) rows
     * @param queries (id, embedding) rows, expected small (broadcast)
     * @return (q_id, rank, neighbor_id, cosine), rank 1..k */
   def knn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.toDF("q_id", "q_emb")
-    val c = corpus.toDF("neighbor_id", "c_emb")
+    val c = widen(corpus.toDF("neighbor_id", "c_emb"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor_id"))
     c.join(broadcast(q), col("q_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
@@ -66,7 +82,7 @@ object Similarity {
     * as [[knn]] (proven by sharing its DuckDB oracle). */
   def knnTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.toDF("q_id", "q_emb")
-    val c = corpus.toDF("neighbor_id", "c_emb")
+    val c = widen(corpus.toDF("neighbor_id", "c_emb"))
     rankTopK(
       c.join(broadcast(q), col("q_id") =!= col("neighbor_id"))
         .select(col("q_id"), col("neighbor_id"),
@@ -338,7 +354,7 @@ object Similarity {
         posexplode(array((0 until tables).map(t => bucket(t, col("emb"))): _*)))
       .toDF("id", "t", "b")
 
-    val c = corpus.toDF("id", "emb")
+    val c = widen(corpus.toDF("id", "emb"))
     val q = queries.toDF("id", "emb")
     val cand = bucketed(c).toDF("neighbor_id", "ct", "cb")
       .join(broadcast(bucketed(q).toDF("q_id", "t", "b")),
