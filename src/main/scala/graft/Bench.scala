@@ -28,13 +28,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // This engine's scans carry heavy per-row work (regex, char-gram
-      // hashing, 64-dim vector folds, 1000-query broadcast ranking), so
-      // the right split size is MB not the 128 MB default: a 25 MB
-      // corpus is otherwise ONE task and the whole operator runs on one
-      // core (measured 2622 s -> 86 s on sim_knn at the 100x decade).
+      // SANDBOX-LAYOUT CONFIG — do not copy into a deployment. This
+      // harness's inputs are MB-scale, so heavy per-row work (regex,
+      // char-gram hashing, 64-dim vector folds, 1000-query broadcast
+      // ranking) lands on ONE 128 MB-default split and runs single-core
+      // (measured 2622 s -> 86 s on sim_knn at the 100x decade). 8 MB
+      // splits fix that HERE; on a 100 TB corpus the same setting means
+      // ~12.5M tasks per scan — at scale keep the default split size and
+      // rely on the per-operator widen() (Similarity.scala), which
+      // repartitions only when a scan yields fewer splits than cores.
       // openCost=1m keeps many-small-file dirs from collapsing into a
-      // single packed partition for the same reason.
+      // single packed partition for the same reason. See README
+      // "Operational notes".
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")

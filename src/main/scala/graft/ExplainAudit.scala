@@ -3,9 +3,15 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
-/** Plan auditor: dumps `explain(formatted)` for representative queries so
-  * plan quality (pushdown, pruning, broadcast selection, codegen spans)
-  * is inspectable — the "is this the plan you'd want at 100 TB" loop.
+/** Plan auditor: dumps `explain(formatted)` for EVERY registered batch
+  * query so plan quality (pushdown, pruning, broadcast selection, codegen
+  * spans) is inspectable — the "is this the plan you'd want at 100 TB"
+  * loop. The hand-annotated representative set leads the file (each with
+  * the property its plan must exhibit); the remaining registry follows in
+  * name order. Streaming-backed queries (`*stream*`) are excluded: their
+  * registered functions EXECUTE a micro-batch query at construction, so
+  * the interesting plan is the streaming one inside (audited by their
+  * specs), not the final batch read-back.
   *
   * Usage: runMain graft.ExplainAudit [sfDir] [outFile]
   */
@@ -44,8 +50,13 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val rest = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.contains("stream")).filterNot(Audited.contains)
     val sb = new StringBuilder("# Plan audit\n")
-    Audited.foreach { name =>
+    sb.append(s"\nAnnotated representative set first, then the remaining " +
+      s"registry (${Audited.length} + ${rest.length} batch queries; " +
+      "streaming-backed queries excluded — they execute at construction).\n")
+    (Audited ++ rest).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n```\n")
       sb.append(df.queryExecution.explainString(

@@ -37,8 +37,9 @@ object KnnScaleBench {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
-      // MB-scale input splits (see Bench): vector-fold scans are far
-      // heavier per byte than the 128 MB split default assumes
+      // SANDBOX-LAYOUT CONFIG (see Bench): vector-fold scans are far
+      // heavier per byte than the 128 MB split default assumes at this
+      // harness's MB-scale footprints. Not deployment advice.
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
@@ -83,7 +84,8 @@ object KnnScaleBench {
       def exact = operators.Similarity.knnTopK(corpus, base, K)
       def probe = operators.Similarity.ivfProbe(spark, idx, base, K, nprobe)
       // the int8 serving tier: same index dir, cells_i8 artifact only
-      // (integer-exact coarse + full-query-precision rescore)
+      // (single-stage cosine of the full-precision query against the
+      // stored codes — the measured-faster spelling, see ivfProbeI8)
       def probeI8 = operators.Similarity.ivfProbeI8(spark, idx, base, K, nprobe)
 
       val tExact = timed2(exact.write.format("noop").mode("overwrite").save())

@@ -10,9 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // MB-scale input splits: heavy per-row work makes the 128 MB
-      // default serialize small-footprint corpora onto one core (see
-      // Bench for the measured case)
+      // SANDBOX-LAYOUT CONFIG (see Bench for the full rationale): MB-
+      // scale inputs + heavy per-row work would serialize onto one core
+      // under the 128 MB default. Not deployment advice — at 100 TB keep
+      // the default split size; per-operator widen() covers the
+      // principled case.
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
@@ -29,6 +31,18 @@ object Verify {
       val unknown = o.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(",")}")
+      // A partial dump REPLACES oracle_sql.json with only the subset; if
+      // the outDir already holds other queries' parquet, a later
+      // check_oracle run would validate just the subset while the stale
+      // full outputs sit alongside — a partial run silently reading as a
+      // full pass. Refuse rather than inherit: partial runs need a fresh
+      // (or same-subset) outDir.
+      val stale = Option(new java.io.File(outDir).list()).getOrElse(Array.empty[String])
+        .filter(SparkEntry.queries.keySet).filterNot(o).sorted
+      require(stale.isEmpty,
+        s"outDir $outDir already contains dumps outside SPARK_GRAFT_ONLY " +
+          s"(${stale.take(5).mkString(", ")}${if (stale.length > 5) ", ..." else ""}); " +
+          "use a fresh outDir for partial runs")
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -121,11 +121,15 @@ object Similarity {
     val fv = c.withColumn("__fv", array_to_vector(col("emb").cast("array<double>")))
     val target = fitSampleSize(nlist)
     // 1.2× headroom: the hash sample is binomial around the target; the
-    // fit only needs "enough points per cell", never an exact count
+    // fit only needs "enough points per cell", never an exact count.
+    // Floor at 1: past n > 1.2e6·target the integer division truncates
+    // to 0 (an EMPTY fit set and a hard KMeans failure at exactly the
+    // extreme scale sampling exists for); threshold 1 keeps the expected
+    // sample near target at that boundary (n/1e6 ≈ 1.2·target rows).
     val fitSrc =
       if (n <= target) fv
       else fv.filter(pmod(xxhash64(col("id")), lit(1000000L)) <
-        lit(math.min(1000000L, (1200000L * target) / n)))
+        lit(math.max(1L, math.min(1000000L, (1200000L * target) / n))))
     val fitted = new KMeans().setK(nlist).setSeed(42).setMaxIter(maxIter)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(fitSrc)
@@ -167,15 +171,21 @@ object Similarity {
   }
 
   /** One-pass corpus statistics for the index manifest: (row count,
-    * content fingerprint, max vector width). The fingerprint is
-    * `bit_xor(xxhash64(id, emb))` — order-independent, overflow-free, and
-    * sensitive to any id OR embedding mutation, so a replaced corpus
-    * under the same tag can never silently serve a stale index. */
+    * content fingerprint, max vector width). The fingerprint is the
+    * WRAPAROUND SUM (mod 2⁶⁴) of `xxhash64(id, emb)` — order-independent
+    * (sum is commutative) but, unlike the previous bit_xor spelling,
+    * multiplicity-sensitive: XOR cancels pairwise, so two corpora that
+    * differ only in even-multiplicity duplicated rows shared a
+    * fingerprint and could silently serve each other's index. The sum is
+    * carried as decimal(38,0) (ANSI-safe: no Long overflow at any
+    * realistic row count — 1e19 rows before the decimal cap) and reduced
+    * mod 2⁶⁴ on the driver via the BigInteger low word. */
   private def corpusStats(c: DataFrame): (Long, Long, Int) = {
     val r = c.agg(count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("id"), col("emb"))), lit(0L)),
+      coalesce(sum(xxhash64(col("id"), col("emb")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)),
       coalesce(max(size(col("emb"))), lit(0))).head()
-    (r.getLong(0), r.getLong(1), r.getInt(2))
+    (r.getLong(0), r.getDecimal(1).toBigInteger.longValue(), r.getInt(2))
   }
 
   /** The stored-index manifest: what [[ivfBuild]] indexed. Validated by
@@ -354,9 +364,17 @@ object Similarity {
         posexplode(array((0 until tables).map(t => bucket(t, col("emb"))): _*)))
       .toDF("id", "t", "b")
 
-    val c = widen(corpus.toDF("id", "emb"))
+    val c = corpus.toDF("id", "emb")
     val q = queries.toDF("id", "emb")
-    val cand = bucketed(c).toDF("neighbor_id", "ct", "cb")
+    // widen ONLY the bucket-computation branch: that's where the heavy
+    // per-row work lives (tables×bits hyperplane dot products per corpus
+    // row). The final cosine join consumes the corpus a second time, but
+    // through its own hash exchange on neighbor_id — which already
+    // spreads the (cheap-per-row) emb projection across the cluster — so
+    // widening the whole frame paid the round-robin shuffle twice, one
+    // copy per plan branch (measured as sim_knn_lsh's +57% bench drift
+    // in round 7, the only row outside the uniform band).
+    val cand = bucketed(widen(c)).toDF("neighbor_id", "ct", "cb")
       .join(broadcast(bucketed(q).toDF("q_id", "t", "b")),
         col("ct") === col("t") && col("cb") === col("b") && col("q_id") =!= col("neighbor_id"))
       .select("q_id", "neighbor_id").distinct()

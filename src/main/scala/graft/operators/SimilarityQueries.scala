@@ -85,9 +85,10 @@ object SimilarityQueries {
 
     // The same stored index served from its int8 artifact alone
     // (cells_i8.parquet: quantized codes + per-vector scale, ~4× smaller
-    // than the float cells): integer-exact coarse ranking over the codes,
-    // then a full-query-precision rescore of the top k·4 candidates —
-    // no float-cell read anywhere (the corpus scale cancels in cosine).
+    // than the float cells): ONE stage — cosine(full-precision query,
+    // stored codes) ranked directly over the pruned cells — no float-cell
+    // read anywhere (the corpus scale cancels in cosine; a two-stage
+    // coarse+rescore split measured slower, see Similarity.ivfProbeI8).
     // This is the IO-bound 100 TB serving tier; KnnScaleBench measures it
     // against the float probe and exact. Sketch-family → rows-only check;
     // recall and round-trip are pinned in SimilaritySpec.

@@ -40,9 +40,13 @@ def main(sf_dir, out_dir):
             kind = con.execute(
                 f"SELECT typeof(ts) FROM '{src}' LIMIT 1").fetchone()[0]
             if kind == "BIGINT":
+                # Spark DIV truncates toward zero; DuckDB // floors. They
+                # differ by 1 us on negative (pre-epoch) nanos, so spell
+                # out truncation explicitly to match Tables.events.
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * REPLACE "
-                    f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
+                    f"(make_timestamp(CASE WHEN ts >= 0 THEN ts // 1000 "
+                    f"ELSE -((-ts) // 1000) END) AS ts) FROM '{src}'")
                 continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
