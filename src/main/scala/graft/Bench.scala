@@ -120,15 +120,23 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num("%.2f", v) }
       .mkString("{", ",", "}")
     val total = num("%.3f", ok.map(_._2).sum)
+    // The streaming-flagged queries' wall is dominated by per-run FIXED
+    // trigger machinery (micro-batch scheduling, checkpoint dirs, state
+    // store init — not data volume), so their summed seconds are broken
+    // out: read "value minus streaming_sec" as the data-dependent total
+    // when comparing rounds or scales.
+    val streamingSec = num("%.2f",
+      ok.collect { case (n, v) if SparkEntry.streamingQueries(n) => v }.sum)
+    val streamingN = ok.count(x => SparkEntry.streamingQueries(x._1))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"streaming_sec":$streamingSec,"streaming_n":$streamingN,"sf":"$sfDir"}""")
     // Full-precision, uncapped dump for offline analysis (scaling curves):
     // SPARK_GRAFT_BENCH_OUT=path writes every query's timing to a file,
     // where the stdout line above stays within the driver's tail budget.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       val full = results.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
         .mkString("{", ",", "}")
-      val json = s"""{"total":$total,"queries":$full,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+      val json = s"""{"total":$total,"queries":$full,"failed":$failedJson,"streaming_sec":$streamingSec,"streaming_n":$streamingN,"sf":"$sfDir","cpus":$cpus}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         json.getBytes("UTF-8"))
     }

@@ -8,10 +8,15 @@ import org.apache.spark.sql.SparkSession
   * spans) is inspectable — the "is this the plan you'd want at 100 TB"
   * loop. The hand-annotated representative set leads the file (each with
   * the property its plan must exhibit); the remaining registry follows in
-  * name order. Streaming-backed queries (`*stream*`) are excluded: their
-  * registered functions EXECUTE a micro-batch query at construction, so
-  * the interesting plan is the streaming one inside (audited by their
-  * specs), not the final batch read-back.
+  * name order. Streaming-backed queries (`SparkEntry.streamingQueries`,
+  * flagged at the registration site) are excluded: their registered
+  * functions EXECUTE a micro-batch query at construction, so the
+  * interesting plan is the streaming one inside (audited by their
+  * specs), not the final batch read-back. Note the audit is not entirely
+  * side-effect-free either: constructing `sim_knn_ivf`/`sim_knn_ivf_i8`
+  * runs `ivfBuildIfAbsent` (k-means fit + index parquet writes into the
+  * session tmpdir) before returning the lazy probe plan — the dumped
+  * plan is the real serve-time plan, the build cost lands here.
   *
   * Usage: runMain graft.ExplainAudit [sfDir] [outFile]
   */
@@ -51,7 +56,7 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rest = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_.contains("stream")).filterNot(Audited.contains)
+      .filterNot(SparkEntry.streamingQueries).filterNot(Audited.contains)
     val sb = new StringBuilder("# Plan audit\n")
     sb.append(s"\nAnnotated representative set first, then the remaining " +
       s"registry (${Audited.length} + ${rest.length} batch queries; " +

@@ -37,6 +37,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = queryMap
 
+  /** Queries whose registered fn EXECUTES a Structured Streaming
+    * pipeline at construction (flagged explicitly via `StreamQ` at the
+    * registration site, not inferred from names) — ExplainAudit skips
+    * them, Bench reports their summed fixed trigger overhead. */
+  val streamingQueries: Set[String] =
+    modules.flatten.filter(_.streaming).map(_.name).toSet
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = oracleMap

@@ -18,8 +18,18 @@ package object core {
   /** A named engine query over the test tables in `sfDir`. */
   type QueryFn = (SparkSession, String) => DataFrame
 
-  /** Query + optional DuckDB oracle SQL (None => rows-only check). */
-  final case class Q(name: String, fn: QueryFn, oracle: Option[String])
+  /** Query + optional DuckDB oracle SQL (None => rows-only check).
+    * `streaming` marks queries whose registered fn EXECUTES a Structured
+    * Streaming micro-batch pipeline at construction (the returned frame
+    * is the sink read-back) — consumers that only want to inspect lazy
+    * batch plans (ExplainAudit) or annotate fixed trigger overhead
+    * (Bench) key off this flag, not off name patterns. */
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String],
+                     streaming: Boolean = false)
+
+  /** A [[Q]] whose fn runs a streaming pipeline at construction. */
+  def StreamQ(name: String, fn: QueryFn, oracle: Option[String]): Q =
+    Q(name, fn, oracle, streaming = true)
 
   /** Order-independent, engine-identical sum of a double column:
     * exact DECIMAL(25,6) accumulation, result cast back to double.

@@ -92,7 +92,7 @@ object DedupQueries {
     // the fourth streaming ≡ batch ≡ DuckDB fact, covering streaming
     // dedup state; the watermarked bounded-state variant
     // WeatherStream.dedupStream is pinned in StreamingSpec).
-    Q("dedup_keys_stream",
+    StreamQ("dedup_keys_stream",
       (s, dir) => {
         import graft.streaming.WeatherStream
         val ev = Tables.events(s, dir)

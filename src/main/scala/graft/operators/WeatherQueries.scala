@@ -151,7 +151,7 @@ object WeatherQueries {
     // materialization: the only values collected are 3 quantile
     // boundaries. This is the production shape — swap the live dir for a
     // landing directory and the pipeline runs unbounded.
-    Q("wx_rain_daily_stream",
+    StreamQ("wx_rain_daily_stream",
       (s, dir) => {
         import graft.streaming.WeatherStream
         val readings = Tables.events(s, dir)
@@ -178,7 +178,7 @@ object WeatherQueries {
     // BATCH oracle SQL — making fault recovery a driver-checked
     // CORRECTNESS row, not only a scalatest fact (StreamingSpec pins the
     // same drill at fixture scale).
-    Q("wx_rain_daily_stream_restart",
+    StreamQ("wx_rain_daily_stream_restart",
       (s, dir) => {
         import graft.streaming.WeatherStream
         val readings = Tables.events(s, dir)

@@ -303,7 +303,7 @@ object WindowQueries {
     // watermark-closed windows, so a single far-future sentinel row rides
     // in the last chunk to push the watermark past every real window; the
     // sentinel's own window never closes and is never emitted.
-    Q("win_tumbling_stream",
+    StreamQ("win_tumbling_stream",
       (s, dir) => {
         import graft.streaming.WeatherStream
         val ev = Tables.events(s, dir).select(col("ts"), col("event_type"), col("value"))
@@ -339,7 +339,7 @@ object WindowQueries {
     // (min over both chunked feeds, which advance in step) passes its
     // 1-hour window, by which time every partner row has arrived. Sixth
     // streaming ≡ batch ≡ DuckDB fact; covers the streaming-joins family.
-    Q("join_stream_stream",
+    StreamQ("join_stream_stream",
       (s, dir) => {
         import graft.streaming.WeatherStream
         val ev = Tables.events(s, dir)
@@ -378,7 +378,7 @@ object WindowQueries {
     // (append passthrough, no watermark); the static side is built once
     // from the batch table, exactly what a 100 TB deployment does with a
     // published dim snapshot.
-    Q("join_stream_static",
+    StreamQ("join_stream_static",
       (s, dir) => {
         import graft.streaming.WeatherStream
         val ev = Tables.events(s, dir)
@@ -410,7 +410,7 @@ object WindowQueries {
     // the third streaming ≡ batch ≡ DuckDB fact, covering stateful
     // typed aggregation. Replay duplicates cannot displace entries
     // (TopKAggregator set semantics, AggregatorProps).
-    Q("topk_stream",
+    StreamQ("topk_stream",
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
@@ -489,7 +489,7 @@ object WindowQueries {
     // watermark-closing sentinel trick as win_tumbling_stream: append
     // mode only emits closed sessions, so a far-future row rides in the
     // last chunk; its own session never closes and is filtered out.
-    Q("win_session_stream",
+    StreamQ("win_session_stream",
       (s, dir) => {
         import graft.streaming.WeatherStream
         val ev = Tables.events(s, dir).select(col("ts"), col("user_id"), col("value"))
