@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
 
 Registers each parquet table as a DuckDB view, runs every SQL in
 oracle_sql.json, and compares against the Spark-written parquet in
 <verifyOutDir>/<name>/ : row count, column names (sorted), dtypes, and
 exact values.  Reports near-misses (float tolerance) separately so
-determinism gaps are visible before the real driver run.
+determinism gaps are visible before the real driver run.  With the
+optional third argument, also writes a per-query JSON artifact in the
+driver's CORRECTNESS_r{N}.json shape (rows/schema/hash match booleans) —
+used to commit CORRECTNESS_SCALE.json for the scaled multibyte corpora.
 """
 import json, sys, glob
 import duckdb
@@ -52,16 +55,41 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
+    report = {}
+
+    def record(name, ok, spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": ok if err is None else None,
+            "schema_match": ok if err is None else None,
+            "hash_match": ok if err is None else None,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows,
+            "err": err}
+
+    # mirror the driver: registered queries WITHOUT oracle SQL appear as
+    # no_oracle rows (rows-only evidence), keyed off the Verify out dirs
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").rsplit("/", 1)[-1]
+        if name not in oracle:
+            try:
+                nrows = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{d}*.parquet')"
+                ).fetchone()[0]
+            except Exception:
+                nrows = None
+            record(name, None, spark_rows=nrows, err="no_oracle")
+
     for name, sql in sorted(oracle.items()):
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            record(name, False, err="no spark output"); continue
         try:
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf())
             exp = canon(con.execute(sql).fetchdf())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}"); n_fail += 1
+            record(name, False, err=str(e)[:200]); continue
         probs = []
         if list(got.columns) != list(exp.columns):
             probs.append(f"cols got={list(got.columns)} exp={list(exp.columns)}")
@@ -90,9 +118,20 @@ def main(sf_dir, out_dir):
                                          f"e.g. row {i}: got={g.iloc[i]!r} exp={e.iloc[i]!r}")
         if probs:
             print(f"FAIL {name}: " + "; ".join(probs[:4])); n_fail += 1
+            report[name] = {
+                "rows_match": len(got) == len(exp),
+                "schema_match": list(got.columns) == list(exp.columns),
+                "hash_match": False,
+                "spark_rows": len(got), "oracle_rows": len(exp),
+                "err": "; ".join(probs[:4])[:200]}
         else:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            record(name, True, spark_rows=len(got), oracle_rows=len(exp))
     print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} total")
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=2)
+        print(f"wrote {sys.argv[3]}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
