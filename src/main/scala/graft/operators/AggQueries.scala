@@ -137,6 +137,17 @@ object AggQueries {
     // cast tie-breaks differ between engines → observed near-misses);
     // scaled squares ≈ 1e4 keep the cast unambiguous, and the variance is
     // rescaled by 1e6 at the end on both sides.
+    //
+    // Output grids are magnitude-aware: the identical-IEEE-sequence
+    // property needs S1/S2 to cast to double EXACTLY, which holds only
+    // while the unscaled decimal stays < 2^53 (true at sf0.1; at sf1
+    // S2's unscaled value ≈ 1.5e16 and the engines' decimal→double
+    // casts double-round differently by 1 ulp). var_price ≈ 2e10 has
+    // double ulp ≈ 4e-6, so a 1e-6 grid is SUB-ulp there — it compares
+    // raw doubles and near-misses at scale. Variance is therefore
+    // rounded to the integer grid (1.0 ≫ few-ulp cast noise ≈ 2e-5);
+    // stddev keeps 6 dp (sqrt halves relative noise: ≈ 7e-11 absolute,
+    // far under its 5e-7 half-grid).
     Q("agg_stats",
       (s, dir) => {
         val xk = col("o_totalprice") / 1000.0
@@ -149,14 +160,14 @@ object AggQueries {
             dsum(xk).as("s1"),
             dsum(xk * xk).as("s2"))
           .select(col("o_orderstatus"), col("min_price"), col("max_price"), col("n"),
-            r6((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1) * 1e6)
+            rN((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1) * 1e6, 0)
               .as("var_price"),
             r6(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1) * 1e6))
               .as("stddev_price"))
           .orderBy("o_orderstatus")
       },
       Some(s"""SELECT o_orderstatus, min_price, max_price, n,
-              |  round((s2 - s1 * s1 / n) / (n - 1) * 1e6 * 1e6) / 1e6 AS var_price,
+              |  round((s2 - s1 * s1 / n) / (n - 1) * 1e6) AS var_price,
               |  round(sqrt((s2 - s1 * s1 / n) / (n - 1) * 1e6) * 1e6) / 1e6 AS stddev_price
               |FROM (SELECT o_orderstatus,
               |        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
