@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
-import graft.expressions.{CharGramHash, ShingleHash, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.expressions.{CharGramHash, ShingleHash, TokenMask, TokenMatchCount, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
 import graft.plans.AsofJoinStrategy
 
 /** Production registration path: build the session with
@@ -49,6 +50,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other => throw new IllegalArgumentException(
         s"char_gram_hash(text, n): n must be an integer literal, got $other")
     }))
+    // Variadic: token_mask(text, replacement, entity...) /
+    // token_match_count(text, entity...) — entities are string literals
+    // (they parameterize the generated code, like shingle_hash's k).
+    def strLit(e: Expression, fname: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fname: entity/replacement arguments must be string literals, got $other")
+    }
+    ext.injectFunction((FunctionIdentifier("token_mask"),
+      new ExpressionInfo("graft", "token_mask"),
+      (es: Seq[Expression]) => {
+        require(es.length >= 3, "token_mask(text, replacement, entity...)")
+        TokenMask(es.head, es.drop(2).map(strLit(_, "token_mask")),
+          strLit(es(1), "token_mask"))
+      }))
+    ext.injectFunction((FunctionIdentifier("token_match_count"),
+      new ExpressionInfo("graft", "token_match_count"),
+      (es: Seq[Expression]) => {
+        require(es.length >= 2, "token_match_count(text, entity...)")
+        TokenMatchCount(es.head, es.tail.map(strLit(_, "token_match_count")))
+      }))
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

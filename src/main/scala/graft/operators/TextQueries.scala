@@ -259,20 +259,28 @@ object TextQueries {
     // one boundary rule both engines share, multibyte-proof by
     // construction (caught by the multibyte scaling corpus). The email
     // pattern is boundary-free and stays a whole-text regex.
+    //
+    // Both token stages are native codegen'd expressions (TokenMask /
+    // TokenMatchCount), not HOF lambdas: the former transform()+filter()
+    // spelling evaluated an interpreted closure per token and
+    // materialized a token array + rejoin per row — the last
+    // interpreted-lambda hot path in an oracled query (SURVEY §7.3b
+    // measured the family 4-8x slower than codegen).
     Q("text_scrub",
       (s, dir) => {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
         val entities = Seq("customer", "supplier")
         val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
-        val words = split(col("text"), " ")
-        val isEnt = (w: org.apache.spark.sql.Column) =>
-          w.isin(entities.map(x => x: Any): _*)
+        val masked = ColumnBridge.column(graft.expressions.TokenMask(
+          ColumnBridge.expression(col("text")), entities, "<ENT>"))
+        val nEnt = ColumnBridge.column(graft.expressions.TokenMatchCount(
+          ColumnBridge.expression(col("text")), entities))
         Tables.documents(s, dir)
           .select(col("doc_id"),
-            size(filter(words, isEnt)).as("n_entities"),
+            nEnt.as("n_entities"),
             size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
-            md5(regexp_replace(
-              array_join(transform(words, w => when(isEnt(w), "<ENT>").otherwise(w)), " "),
-              emailPat, "<EMAIL>").cast("binary")).as("masked_md5"))
+            md5(regexp_replace(masked, emailPat, "<EMAIL>").cast("binary"))
+              .as("masked_md5"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,

@@ -65,6 +65,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getSeq[Long](0).isEmpty)
   }
 
+  test("token_mask / token_match_count are SQL functions under the extensions") {
+    val r = spark.sql(
+      "SELECT token_mask('customer pays the supplier', '<ENT>', 'customer', 'supplier') AS m, " +
+        "token_match_count('customer pays the supplier', 'customer', 'supplier') AS n")
+      .head()
+    assert(r.getString(0) === "<ENT> pays the <ENT>")
+    assert(r.getInt(1) === 2)
+    // non-literal entity -> clear error, not silent misbehavior
+    val err = intercept[Exception] {
+      spark.sql("SELECT token_mask('x', '<ENT>', m) FROM (SELECT 'x' AS m)").collect()
+    }
+    assert(err.getMessage.contains("string literals"))
+  }
+
   test("asof strategy is planner-registered (no Asof.join self-registration)") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge

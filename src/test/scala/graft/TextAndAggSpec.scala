@@ -108,6 +108,45 @@ class TextAndAggSpec extends AnyFunSuite with SparkTestBase {
     assert(rz(3L) === (0x1F389 % 64) + 1)
   }
 
+  test("TokenMask/TokenMatchCount == the HOF split/transform/join spelling") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val entities = Seq("customer", "supplier")
+    // Edge shapes: consecutive/leading/trailing spaces (empty tokens),
+    // entity at both ends, multibyte neighbors (token boundary must be
+    // the 0x20 byte, not a regex word boundary), near-miss substrings,
+    // empty string, all-spaces, entity-only.
+    val rows = Seq(
+      "customer paid the supplier", "  customer  ", "customer",
+      "the customerµ1 is not customer µcustomer", "no entities here",
+      "customer customer customer", "", "   ", "supplier,customer x",
+      "a customer b supplier c").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "text")
+    val words = split(col("text"), " ")
+    val isEnt = (w: org.apache.spark.sql.Column) =>
+      w.isin(entities.map(x => x: Any): _*)
+    val hof = df.select(col("id"),
+      size(filter(words, isEnt)).as("n"),
+      array_join(transform(words, w => when(isEnt(w), "<ENT>").otherwise(w)), " ")
+        .as("m"))
+    val native = df.select(col("id"),
+      ColumnBridge.column(graft.expressions.TokenMatchCount(
+        ColumnBridge.expression(col("text")), entities)).as("n"),
+      ColumnBridge.column(graft.expressions.TokenMask(
+        ColumnBridge.expression(col("text")), entities, "<ENT>")).as("m"))
+    val h = hof.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val nv = native.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(nv === h)
+    // Interpreted eval agrees with the codegen path exercised above.
+    rows.foreach { case (_, t) =>
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType)
+      val m = graft.expressions.TokenMask(lit, entities, "<ENT>").eval(null).toString
+      val hofM = h(rows.indexWhere(_._2 == t).toLong)._2
+      assert(m === hofM, s"interpreted mask mismatch on '$t'")
+    }
+  }
+
   test("approx_count_distinct is within its accuracy bound of exact") {
     val li = spark.read.parquet(s"$SF/lineitem.parquet")
     val exact = li.groupBy("l_returnflag")
