@@ -47,15 +47,20 @@ object RelationalQueries {
              |  AND l_linestatus LIKE 'F%' AND l_shipdate IS NOT NULL
              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
 
+    // Sort-first shape: derive AFTER the total-order sort so the range
+    // sampler and the shuffle touch only raw columns and the BigDecimal
+    // round()s run once (see math_funcs for the measured rationale).
     Q("project_derive",
       (s, dir) => Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           r6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           r6(col("l_extendedprice") * col("l_tax")).as("tax_amt"),
           when(col("l_quantity") < 10, "small")
             .when(col("l_quantity") < 30, "mid")
-            .otherwise("big").as("qty_band"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+            .otherwise("big").as("qty_band")),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              |  round(l_extendedprice * (1.0 - l_discount), 6) AS revenue,
              |  round(l_extendedprice * l_tax, 6) AS tax_amt,
