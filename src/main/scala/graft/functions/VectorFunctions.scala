@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expressions.{VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
+import graft.expressions.{LshBuckets, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
 
 /** Vector math over `array<float>`/`array<double>` embedding columns
   * (NS mandate: similarity search).
@@ -21,6 +21,11 @@ object VectorFunctions {
                        org.apache.spark.sql.catalyst.expressions.Expression)
                    (a: Column, b: Column): Column =
     ColumnBridge.column(f(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All hyperplane-LSH bucket ids of an embedding as `array<int>`
+    * (element t = table t's bucket) — see [[graft.expressions.LshBuckets]]. */
+  def lshBuckets(emb: Column, planes: Array[Array[Double]], bits: Int): Column =
+    ColumnBridge.column(LshBuckets(ColumnBridge.expression(emb), planes, bits))
 
   /** Σ aᵢ·bᵢ in double precision. */
   def dot(a: Column, b: Column): Column = expr2(VecDot)(a, b)

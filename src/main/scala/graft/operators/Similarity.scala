@@ -22,7 +22,7 @@ object Similarity {
 
   /** Deterministic Gaussian hyperplanes (fixed seed — identical across
     * sessions/executors). */
-  private[operators] def planes(tables: Int, bits: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def planes(tables: Int, bits: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -412,15 +412,15 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              tables: Int = 8, bits: Int = 8, dim: Int = 64): DataFrame = {
     val ps = planes(tables, bits, dim)
-    def planeCol(p: Int): Column = array(ps(p).map(lit): _*)
-    def bucket(t: Int, emb: Column): Column =
-      (0 until bits).map { j =>
-        when(dot(emb, planeCol(t * bits + j)) >= 0.0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-
+    // One native expression computes every table's bucket id (array<int>,
+    // element t = table t): the earlier column-composed spelling inlined
+    // tables×bits literal plane arrays (4096 Literal nodes at defaults)
+    // into the plan, and re-optimizing that tree was a fixed driver-side
+    // cost per serving batch — measured as ~0.4 s of sim_knn_lsh's bench
+    // wall at sf0.1. Bucket semantics are bit-identical (SimilaritySpec
+    // pins native ≡ literal spelling).
     def bucketed(df: DataFrame): DataFrame = df
-      .select(col("id"),
-        posexplode(array((0 until tables).map(t => bucket(t, col("emb"))): _*)))
+      .select(col("id"), posexplode(lshBuckets(col("emb"), ps, bits)))
       .toDF("id", "t", "b")
 
     val c = corpus.toDF("id", "emb")

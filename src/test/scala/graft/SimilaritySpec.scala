@@ -47,6 +47,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
   }
 
+  test("LshBuckets native expression == the literal-plane column spelling") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.VectorFunctions.dot
+    val (tables, bits, dim) = (8, 8, 64)
+    val ps = Similarity.planes(tables, bits, dim)
+    def planeCol(p: Int) = array(ps(p).map(lit): _*)
+    def bucket(t: Int) = (0 until bits).map { j =>
+      when(dot(col("embedding"), planeCol(t * bits + j)) >= 0.0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    val literal = emb.select(col("vec_id"),
+      array((0 until tables).map(bucket): _*).as("bk"))
+    val native = emb.select(col("vec_id"),
+      ColumnBridge.column(graft.expressions.LshBuckets(
+        ColumnBridge.expression(col("embedding")), ps, bits)).as("bk"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val (l, n) = (m(literal), m(native))
+    assert(n.size === l.size)
+    assert(n === l)
+    // Interpreted eval agrees with the codegen path exercised above.
+    val one = emb.limit(1).collect()(0)
+    val litExpr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      one.getSeq[Float](1),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val ev = graft.expressions.LshBuckets(litExpr, ps, bits).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    assert(ev.toSeq === l(one.getLong(0)))
+  }
+
   test("LSH finds planted near-identical vectors (self-recall)") {
     // plant: copies of vectors 1..5 with one coordinate nudged
     val base = emb.filter(col("vec_id") < 5).collect()
