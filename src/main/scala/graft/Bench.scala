@@ -43,6 +43,15 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4.x writes a companion .checksum per checkpoint file (state
+      // deltas, offset/commit logs, sink metadata) to detect filesystem
+      // corruption. On this harness's local tmpdir that doubles the
+      // small-file IO of every micro-batch commit for no benefit (a local
+      // ext4 read-back corrupting silently is not the failure mode the
+      // bench guards); the stream-stream join alone commits 4 state
+      // stores x 8 partitions x ~6 batches per run. A deployment on an
+      // object store SHOULD leave the default (true) on.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

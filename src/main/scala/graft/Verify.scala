@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
+      // local-tmpdir harness: skip the per-checkpoint-file .checksum
+      // companions (see the Bench builder note; deployments on object
+      // stores keep the default)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
