@@ -24,15 +24,26 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "embeddings"))
 
-  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. We read the raw nanos
-    * (legacy conf) and convert to a microsecond TimestampType with integer
-    * division — lossless here (the generator emits µs precision), and
-    * identical to what DuckDB sees when it reads the same file.
+  /** Corpus vintages have stored `events.ts` three ways: parquet INT64
+    * TIMESTAMP(NANOS) (rejected by the vectorized reader — read the raw
+    * nanos via the legacy conf and derive micros with truncating division,
+    * lossless since the generator emits µs precision), plain
+    * TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ), and
+    * raw BIGINT nanos in the Spark-written scale corpora. Normalize all to
+    * session-UTC TimestampType here so every downstream query sees ONE
+    * type regardless of vintage — the NTZ→LTZ cast reinterprets the naive
+    * wall value in the session zone (UTC everywhere in this engine),
+    * exactly the value DuckDB's naive TIMESTAMP read yields.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = s.read.parquet(path(dir, "events"))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }
