@@ -529,9 +529,17 @@ object WindowQueries {
       (s, dir) => {
         val ev = Tables.events(s, dir)
           .withColumn("hour", date_trunc("hour", col("ts")))
+        // obs is consumed twice (grid bounds + the fill join); column
+        // pruning specializes the two aggregate branches differently, so
+        // plan-level exchange reuse cannot kick in and the raw table would
+        // be scanned twice. Materialize the aggregate once instead — it is
+        // |distinct user-hours| rows, orders of magnitude smaller than the
+        // event log at scale — so events is scanned exactly once.
         val obs = ev.groupBy("user_id", "hour")
           .agg(dsum(col("value")).as("v"), count(lit(1)).as("n_obs"))
-        val grid = ev.groupBy("user_id")
+          .localCheckpoint(true)
+        val grid = obs
+          .groupBy("user_id")
           .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
           .select(col("user_id"),
             explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
