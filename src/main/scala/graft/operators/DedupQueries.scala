@@ -101,7 +101,7 @@ object DedupQueries {
           ev, "ts", WeatherStream.stagingDir("dedup_keys", dir))
         // parquet-sink drain: the distinct-key set is O(key cardinality),
         // unbounded at scale — keep it off the driver
-        withShufflePartitions(s, 4) {
+        withShufflePartitions(s, WeatherStream.statePartitions(s, input)) {
           WeatherStream.drainToParquet(
             input.df.dropDuplicates("user_id", "event_type"), "dedup_keys_stream", input)
         }

@@ -160,7 +160,7 @@ object WeatherQueries {
           readings, WeatherStream.stagingDir("wx_rain", dir))
         // parquet-sink drain: output is O(input) (one obs per event), so
         // a driver-resident memory sink would cap it at driver heap
-        withShufflePartitions(s, 4) {
+        withShufflePartitions(s, WeatherStream.statePartitions(s, input)) {
           WeatherStream.drainToParquet(
             WeatherStream.rainDailyStream(input.typed).toDF(), "wx_rain_stream", input)
         }
@@ -185,7 +185,7 @@ object WeatherQueries {
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         val input = WeatherStream.chunkedFileFeed(
           readings, WeatherStream.stagingDir("wx_rain_restart", dir))
-        withShufflePartitions(s, 4) {
+        withShufflePartitions(s, WeatherStream.statePartitions(s, input)) {
           WeatherStream.drainToParquetRestart(
             WeatherStream.rainDailyStream(input.typed).toDF(),
             "wx_rain_stream_restart", stopAfter = 2, input)

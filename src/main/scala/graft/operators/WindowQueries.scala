@@ -323,7 +323,7 @@ object WindowQueries {
             col("event_type"), col("n"), col("sum_value"))
         // parquet-sink drain: window count grows with the time range —
         // executor-side output, nothing driver-resident
-        withShufflePartitions(s, 4) {
+        withShufflePartitions(s, WeatherStream.statePartitions(s, input)) {
           graft.streaming.WeatherStream.drainToParquet(agg, "win_tumbling_stream", input)
         }.orderBy("ws", "event_type")
       },
@@ -360,7 +360,7 @@ object WindowQueries {
             col("c_id"), unix_micros(col("c_ts")).as("c_ts_us"))
         // parquet-sink drain: the match set is O(input) at scale; both
         // feeds advance in step so the global watermark keeps moving
-        withShufflePartitions(s, 4) {
+        withShufflePartitions(s, WeatherStream.statePartitions(s, p, c)) {
           graft.streaming.WeatherStream.drainToParquet(joined, "join_stream_stream", p, c)
         }.orderBy("p_id", "c_id")
       },
@@ -390,7 +390,7 @@ object WindowQueries {
           .select(col("event_id"), col("event_type"), col("value"),
             r6(col("type_avg")).as("type_avg"))
         // parquet-sink drain: one output row per input event — O(input)
-        withShufflePartitions(s, 4) {
+        withShufflePartitions(s, WeatherStream.statePartitions(s, input)) {
           graft.streaming.WeatherStream.drainToParquet(joined, "join_stream_static", input)
         }.orderBy("event_id")
       },
@@ -431,7 +431,7 @@ object WindowQueries {
             (key, n, folded.toSeq.map(_._1), folded.toSeq.map(_._2))
           }
         val sinkName = uniqueSinkName("topk_stream")
-        withShufflePartitions(s, 4) {
+        withShufflePartitions(s, graft.streaming.WeatherStream.statePartitions(s, feed)) {
           val q = updates.toDF("user_id", "n_seen", "scores", "ids")
             .writeStream.format("memory").queryName(sinkName)
             .outputMode("update").start()
@@ -509,7 +509,7 @@ object WindowQueries {
             unix_micros(col("session_window.start")).as("session_start_us"),
             col("n"), col("sum_value"))
         // parquet-sink drain: session count is O(input) at scale
-        withShufflePartitions(s, 4) {
+        withShufflePartitions(s, WeatherStream.statePartitions(s, input)) {
           graft.streaming.WeatherStream.drainToParquet(agg, "win_session_stream", input)
         }
           .filter(col("user_id") =!= -1L)

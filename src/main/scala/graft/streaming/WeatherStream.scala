@@ -136,6 +136,13 @@ object WeatherStream {
       live: java.io.File) {
     private var next = 0
     def nChunks: Int = chunkDirs.length
+    /** Total bytes of the staged chunk data files — filesystem metadata
+      * only, no scan. The streaming queries size their state-partition
+      * count from this (see [[statePartitions]]). */
+    def stagedBytes: Long = chunkDirs.map { d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    }.sum
     /** Copy the next staged chunk's data files into the live directory;
       * returns false once every chunk has arrived. Idempotent copies
       * (REPLACE_EXISTING) keep a crashed-and-rerun harness safe. */
@@ -311,6 +318,25 @@ object WeatherStream {
     val q2 = startParquetSink(df, base) // SAME dirs: checkpoint recovery
     try runChunked(q2, feeds) finally q2.stop()
     readParquetSink(s, base)
+  }
+
+  /** Streaming state-partition count sized to the staged feed volume.
+    * A small fixed count (4) wins at bench scale — tiny per-key state
+    * pays more task-launch and checkpoint-file overhead than parallelism
+    * buys — but a CONSTANT serializes stateful work once a micro-batch
+    * outgrows a handful of tasks: with the constant, the 100× corpus
+    * measured second-decade ratios of 9–15 across the streaming family
+    * (BENCH_SCALING), i.e. the fixed partition count had become the
+    * bottleneck, not the data. Size from the staged chunk bytes instead
+    * (filesystem metadata, no extra scan): one state partition per ~8 MB
+    * of staged parquet, clamped to [4, defaultParallelism]. On a real
+    * cluster the same rule holds with the landing-zone size — the clamp
+    * ceiling becomes the executor-core total. */
+  def statePartitions(s: org.apache.spark.sql.SparkSession,
+                      feeds: ChunkedFeed*): Int = {
+    val bytes = feeds.map(_.stagedBytes).sum
+    math.max(4, math.min(s.sparkContext.defaultParallelism,
+      (bytes / (8L << 20)).toInt))
   }
 
   /** One staging directory per (application, feed name, dataset) under
