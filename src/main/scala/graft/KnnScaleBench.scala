@@ -70,7 +70,17 @@ object KnnScaleBench {
                   |  x + 0.01d * $j * element_at(embedding, CAST((i + 1) % $Dim AS INT) + 1))"""
             .stripMargin).as("embedding"))
       }.reduce(_ union _)
-      val corpus = e.union(planted).localCheckpoint(true)
+      // Stage the planted corpus to PARQUET and read it back: a
+      // localCheckpoint here kept the whole corpus in executor RAM, so
+      // the "exact" baseline was scanning memory while the probe read
+      // its index from disk — flattering exact by the full storage gap
+      // at exactly the scales the index exists for. A serving corpus
+      // lives in storage; both paths read disk here, like a deployment.
+      val staged = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_${spark.sparkContext.applicationId}/knn_corpus_${dir.hashCode.toHexString}")
+      e.union(planted).write.mode("overwrite").parquet(staged.getAbsolutePath)
+      val corpus = spark.read.parquet(staged.getAbsolutePath)
       val n = corpus.count()
       val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
       val nprobe = 4

@@ -265,7 +265,19 @@ object Similarity {
     require(n > 0, "ivfBuild: empty corpus")
     val (codebook, cells) = ivfFit(c, nlist, maxIter, n)
     codebook.write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
-    val persisted = cells.localCheckpoint(true) // one assignment pass feeds both writes
+    // Cluster by cell BEFORE materializing: without this, every shuffle
+    // task holds rows of many cells and the partitionBy write emits one
+    // file per (task × cell) — measured 86k ~6 KB files at 2M rows,
+    // nlist=1414, which made the pruned probe read file-open-bound (the
+    // probe scans ~nprobe·|queries| cells, each a pile of tiny files) and
+    // dominated the build itself. Hashing cells into nlist partitions
+    // lands each cell in exactly one task → one file per cell. At corpus
+    // sizes where one cell outgrows a healthy file (~cells of
+    // corpus/nlist bytes), add a within-cell salt column to the
+    // repartition and accept files-per-cell = salt count; the probe's
+    // partition pruning is unaffected.
+    val persisted = cells.repartition(nlist, col("cell"))
+      .localCheckpoint(true) // one assignment pass feeds both writes
     persisted.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells.parquet")
     persisted
