@@ -43,6 +43,9 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
+      // pinned at session build (Tables.events requires it): driver
+      // corpora have stored events.ts as parquet TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Spark 4.x writes a companion .checksum per checkpoint file (state
       // deltas, offset/commit logs, sink metadata) to detect filesystem
       // corruption. On this harness's local tmpdir that doubles the

@@ -104,6 +104,14 @@ object KnnScaleBench {
       val ex = pairs(exact)
       val recall = (ex & pairs(probe)).size.toDouble / ex.size
       val recallI8 = (ex & pairs(probeI8)).size.toDouble / ex.size
+      // the staged corpus copy (and the index built from it) served its
+      // measurements — delete both, or one full corpus copy per
+      // (JVM, dir) run leaks into tmpdir (≈10 GB at the 2×10⁷ row)
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+      }
+      rmTree(staged)
+      rmTree(new java.io.File(idx))
       s"""{"dir":"$dir","corpus":$n,"nlist":$nlist,"nprobe":$nprobe,""" +
         s""""fit_sec":${fmt(fitSec)},"exact_sec":${fmt(tExact)},""" +
         s""""ivf_probe_sec":${fmt(tProbe)},"recall_at5":${fmt(recall, 3)},""" +

@@ -18,6 +18,9 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
+      // pinned at session build (Tables.events requires it): driver
+      // corpora have stored events.ts as parquet TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // local-tmpdir harness: skip the per-checkpoint-file .checksum
       // companions (see the Bench builder note; deployments on object
       // stores keep the default)

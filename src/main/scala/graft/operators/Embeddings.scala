@@ -68,8 +68,20 @@ object Embeddings {
     * Output contract matches [[Similarity.knn]]: (q_id, rank,
     * neighbor_id, cos). */
   def knnI8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // array<FLOAT>, not array<double>: the codes are integers in
+    // [-127, 127], exactly representable in float32, and VecCosine reads
+    // float arrays natively (fold still accumulates in double) — so the
+    // scores are bit-identical while each vector flowing through the
+    // broadcast ranking join is HALF the bytes. The double spelling made
+    // the int8 EXACT path 15% SLOWER than float sim_knn at the 100×
+    // decade (100.7 s vs 87.4 s, BENCH_SCALING r9): per ranked pair the
+    // fold streamed 2×64 doubles where sim_knn streamed 2×64 floats —
+    // the pair loop is memory-bound, so byte width, not arithmetic, set
+    // the wall. (float32 is also what the "4× smaller vectors" memory
+    // story already promises; materializing doubles quietly gave half of
+    // it back.)
     def qz(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(id), quantize(col(v), i8Scale(col(v))).cast("array<double>").as(v))
+      df.select(col(id), quantize(col(v), i8Scale(col(v))).cast("array<float>").as(v))
     // quantize both sides, then rank through Similarity.knnTopK — ONE
     // spelling of the bounded-buffer ranking contract (map-side partial
     // top-k ships k rows per (partition × query) into the shuffle instead

@@ -276,6 +276,10 @@ object Similarity {
     // corpus/nlist bytes), add a within-cell salt column to the
     // repartition and accept files-per-cell = salt count; the probe's
     // partition pruning is unaffected.
+    // (localCheckpoint blocks die with their executor: a long-running
+    // cluster build should use reliable checkpoint() or persist the
+    // assignment to storage so executor loss recomputes instead of
+    // failing the job.)
     val persisted = cells.repartition(nlist, col("cell"))
       .localCheckpoint(true) // one assignment pass feeds both writes
     persisted.write.mode("overwrite").partitionBy("cell")

@@ -535,6 +535,9 @@ object WindowQueries {
         // be scanned twice. Materialize the aggregate once instead — it is
         // |distinct user-hours| rows, orders of magnitude smaller than the
         // event log at scale — so events is scanned exactly once.
+        // localCheckpoint blocks die with their executor: a long-running
+        // cluster job should use reliable checkpoint() (or persist to
+        // storage) here so executor loss recomputes instead of failing.
         val obs = ev.groupBy("user_id", "hour")
           .agg(dsum(col("value")).as("v"), count(lit(1)).as("n_obs"))
           .localCheckpoint(true)

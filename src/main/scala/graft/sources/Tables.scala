@@ -34,10 +34,28 @@ object Tables {
     * type regardless of vintage — the NTZ→LTZ cast reinterprets the naive
     * wall value in the session zone (UTC everywhere in this engine),
     * exactly the value DuckDB's naive TIMESTAMP read yields.
+    *
+    * The `nanosAsLong` legacy conf the NANOS vintage depends on is a
+    * SESSION-BUILD concern, pinned in the engine's session builders
+    * (Bench / Verify / ExplainAudit / SparkTestBase / ScaleData) next
+    * to the other pinned confs — a reader that silently flipped it
+    * session-wide was a surprise for any co-resident workload reading
+    * real nanos parquet. A session that lacks it still reads the
+    * micros/NTZ vintages fine; on a NANOS corpus it fails fast here
+    * with the fix named, instead of surfacing parquet's opaque
+    * "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))".
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(path(dir, "events"))
+    val df =
+      try s.read.parquet(path(dir, "events"))
+      catch {
+        case e: Throwable if Option(e.getMessage).exists(_.contains("TIMESTAMP(NANOS")) =>
+          throw new IllegalArgumentException(
+            "Tables.events: this corpus stores events.ts as parquet " +
+              "TIMESTAMP(NANOS); set spark.sql.legacy.parquet.nanosAsLong=true " +
+              "at session build (pinned in the Bench/Verify/SparkTestBase " +
+              "builders; see SURVEY §1.3)", e)
+      }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

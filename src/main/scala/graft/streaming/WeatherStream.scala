@@ -329,14 +329,16 @@ object WeatherStream {
     * (BENCH_SCALING), i.e. the fixed partition count had become the
     * bottleneck, not the data. Size from the staged chunk bytes instead
     * (filesystem metadata, no extra scan): one state partition per ~8 MB
-    * of staged parquet, clamped to [4, defaultParallelism]. On a real
-    * cluster the same rule holds with the landing-zone size — the clamp
-    * ceiling becomes the executor-core total. */
+    * of staged parquet, clamped to [4, max(4, defaultParallelism)]. On
+    * a real cluster the same rule holds with the landing-zone size —
+    * the clamp ceiling becomes the executor-core total. (The ceiling
+    * itself is floored at 4: on a sub-4-core session the floor wins and
+    * state is mildly oversubscribed rather than under-split.) */
   def statePartitions(s: org.apache.spark.sql.SparkSession,
                       feeds: ChunkedFeed*): Int = {
     val bytes = feeds.map(_.stagedBytes).sum
-    math.max(4, math.min(s.sparkContext.defaultParallelism,
-      (bytes / (8L << 20)).toInt))
+    math.min(math.max(4, (bytes / (8L << 20)).toInt),
+      math.max(4, s.sparkContext.defaultParallelism))
   }
 
   /** One staging directory per (application, feed name, dataset) under

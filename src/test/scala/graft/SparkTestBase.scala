@@ -18,6 +18,9 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // pinned at session build (Tables.events requires it): driver
+      // corpora have stored events.ts as parquet TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // local-tmpdir harness: skip per-checkpoint-file .checksum
       // companions (see the Bench builder note)
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
