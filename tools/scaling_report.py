@@ -29,12 +29,38 @@ EXPECTED_SUPERLINEAR = {
     "join_cross",
 }
 
+# The note the artifact carries for EXPECTED_SUPERLINEAR rows whose
+# measured ratio exceeds the data factor (emitted by the SCRIPT so a
+# regeneration can never lose it: the r9 artifact shipped 61x/43x/41x
+# decade-2 ratios for the exact-knn trio with empty notes, leaving the
+# flagship family's quadratic-by-construction workload unexplained to
+# anyone reading the artifact alone).
+SUPERLINEAR_NOTE = ("quadratic by workload, not by plan: the query set "
+                    "(every 50th vector) scales WITH the corpus, so pair "
+                    "work ~ sf^2; the fixed-query-batch serving story and "
+                    "the sub-linear scale path (sim_knn_lsh decade-2 ~7x, "
+                    "stored-index IVF) are measured in RECALL.md")
+
 # Queries whose sf1 wall is dominated by the mandatory total-order output
 # sort (n log n over wide rows). The sort exists ONLY for the oracle's
 # deterministic hash-compare contract (SURVEY 7.3) — a production caller
 # would not sort — so a ratio mildly above the data factor is the
 # n log n term, not a scale defect in the operator itself.
 EXPECTED_SORT_BOUND = {"math_funcs", "project_derive", "sort_multi"}
+
+# Structured-Streaming-backed queries (SparkEntry.streamingQueries): wall
+# is dominated by per-run FIXED trigger machinery (micro-batch
+# scheduling, checkpoint dirs, state-store init), so small-scale ratios
+# mostly measure overhead, not the data term — the bench line's
+# streaming_sec field carries the same caveat.
+STREAMING = {
+    "win_tumbling_stream", "win_session_stream", "join_stream_stream",
+    "join_stream_static", "topk_stream", "dedup_keys_stream",
+    "wx_rain_daily_stream", "wx_rain_daily_stream_restart",
+}
+STREAMING_NOTE = ("streaming: fixed trigger/checkpoint overhead dominates "
+                  "at bench scale (see streaming_sec in BENCH_r*.json); "
+                  "state partitions are sized from staged feed bytes")
 
 
 def main() -> None:
@@ -57,27 +83,39 @@ def main() -> None:
         # sub-0.1s small-scale timings are overhead-dominated; ratios on
         # them are meaningless (fixed costs mask the data term)
         ratio = round(tb / ta, 2) if ta >= 0.1 else None
-        note = ""
-        if ratio is not None and ratio > factor:
-            if name in EXPECTED_SUPERLINEAR:
-                note = "superlinear (expected: both join sides scale)"
-            elif name in EXPECTED_SORT_BOUND and ratio <= factor * 1.5:
-                note = "n log n (oracle's total-order output sort, not the operator)"
-            elif ratio > factor * 1.5:
-                note = "SUPERLINEAR"
-        row = {"query": name, "t_small": ta, "t_big": tb,
-               "ratio": ratio, "note": note}
+        row = {"query": name, "t_small": ta, "t_big": tb, "ratio": ratio}
+        r2 = None
         if name in qc and qc[name] >= 0:
             tc = qc[name]
             row["t_100x"] = tc
             # second-decade exponent: 100x/10x ratio on its own decade
-            row["ratio_decade2"] = round(tc / tb, 2) if tb >= 0.1 else None
-            r2 = row["ratio_decade2"]
-            if (r2 is not None and r2 > factor * 1.5
-                    and name not in EXPECTED_SUPERLINEAR
-                    and name not in EXPECTED_SORT_BOUND):
-                row["note"] = (row["note"] + "; " if row["note"] else "") \
-                    + "SUPERLINEAR at 100x"
+            r2 = round(tc / tb, 2) if tb >= 0.1 else None
+            row["ratio_decade2"] = r2
+        notes = []
+        if name in STREAMING:
+            notes.append(STREAMING_NOTE)
+        if name in EXPECTED_SUPERLINEAR and (
+                (ratio is not None and ratio > factor)
+                or (r2 is not None and r2 > factor)):
+            notes.append(SUPERLINEAR_NOTE)
+        if (name in EXPECTED_SORT_BOUND and ratio is not None
+                and factor < ratio <= factor * 1.5):
+            notes.append("n log n (oracle's total-order output sort, "
+                         "not the operator)")
+        if (r2 is not None and name not in STREAMING
+                and name not in EXPECTED_SUPERLINEAR
+                and factor * 0.7 <= r2 <= factor * 1.5):
+            notes.append("~linear (decade-2 ratio ~= data factor)")
+        # the alarm notes: unexplained superlinear growth on either decade
+        if (ratio is not None and ratio > factor * 1.5
+                and name not in EXPECTED_SUPERLINEAR
+                and name not in EXPECTED_SORT_BOUND):
+            notes.append("SUPERLINEAR")
+        if (r2 is not None and r2 > factor * 1.5
+                and name not in EXPECTED_SUPERLINEAR
+                and name not in EXPECTED_SORT_BOUND):
+            notes.append("SUPERLINEAR at 100x")
+        row["note"] = "; ".join(notes)
         rows.append(row)
     out = {
         "factor": factor,
