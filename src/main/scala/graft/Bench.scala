@@ -26,6 +26,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the production registration path (README "SQL surface"): the
+      // injected vec_*/token/shingle functions and the asof strategy are
+      // session-wide, and the registered sql_surface query runs pure SQL
+      // text against them
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // SANDBOX-LAYOUT CONFIG — do not copy into a deployment. This

@@ -49,6 +49,9 @@ object ExplainAudit {
     val out = args.lift(1).getOrElse("/tmp/explain_audit.md")
     val spark = SparkSession.builder()
       .master("local[8]")
+      // production registration path — the registry includes sql_surface,
+      // which resolves only under the injected functions (see Bench)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -25,6 +25,7 @@ object SparkEntry {
     EmbeddingQueries.all,
     SamplingQueries.all,
     MultimodalQueries.all,
+    SqlQueries.all,
   )
 
   private val (queryMap, oracleMap) = registry(modules)

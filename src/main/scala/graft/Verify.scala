@@ -9,6 +9,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // production registration path — sql_surface runs pure SQL text
+      // against the extension-injected functions (see Bench)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       // SANDBOX-LAYOUT CONFIG (see Bench for the full rationale): MB-
       // scale inputs + heavy per-row work would serialize onto one core

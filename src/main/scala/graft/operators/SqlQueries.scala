@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.core._
+import graft.sources.Tables
+
+/** The session-wide SQL surface a production user gets from
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`), proven
+  * end-to-end: `sql_surface` is PURE SQL TEXT over a registered temp
+  * view, resolved entirely by the extension-injected functions — no
+  * Scala Column API anywhere in the query. The harness sessions
+  * (Bench / Verify / the test base) are built through that exact
+  * production path, so the registered query exercises what a real
+  * `spark.sql` caller sees, and its DuckDB oracle holds the injected
+  * functions to the same bit-exactness contract as the Column API
+  * (the folds are the same codegen'd expressions either way).
+  *
+  * Determinism: every double output goes through the established
+  * `round(x * 1e6) / 1e6` spelling (graft.core.rN's SQL form — Spark's
+  * scale-0 round of a double is half-away-from-zero, identical to
+  * DuckDB's), and the fold twins mirror the expressions' left-to-right
+  * order (see [[SimilarityQueries.cosineSql]]).
+  */
+object SqlQueries {
+
+  /** DuckDB list-fold twins over the common prefix, matching the
+    * codegen'd expressions' left-to-right double accumulation. */
+  private def s2(a: String, b: String): String = {
+    val n = s"least(len($a), len($b))"
+    s"list_sum(list_transform(range(1, $n + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  }
+  private def distSq(a: String, b: String): String = {
+    val n = s"least(len($a), len($b))"
+    s"list_sum(list_transform(range(1, $n + 1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+  }
+  private def maxAbs(v: String): String =
+    s"list_max(list_transform($v, x -> abs(CAST(x AS DOUBLE))))"
+
+  private val oracle: String =
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  round(${maxAbs("embedding")} * 1e6) / 1e6 AS max_abs,
+       |  round(${s2("embedding", "embedding")} * 1e6) / 1e6 AS norm_sq,
+       |  round(${SimilarityQueries.cosineSql("embedding", "q_emb")} * 1e6) / 1e6 AS cos_q0,
+       |  round(${distSq("embedding", "q_emb")} * 1e6) / 1e6 AS dist_q0
+       |FROM embeddings CROSS JOIN q
+       |ORDER BY vec_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // Four injected functions (vec_max_abs, vec_dot, vec_cosine,
+    // vec_distsq) scoring every vector against the vec_id = 0 anchor —
+    // a one-scan, shuffle-free projection plus a 1-row broadcast cross
+    // join, linear at any corpus size.
+    Q("sql_surface",
+      (s, dir) => {
+        Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+        s.sql(
+          """WITH q AS (SELECT embedding AS q_emb FROM graft_embeddings WHERE vec_id = 0)
+            |SELECT vec_id,
+            |  round(vec_max_abs(embedding) * 1e6) / 1e6 AS max_abs,
+            |  round(vec_dot(embedding, embedding) * 1e6) / 1e6 AS norm_sq,
+            |  round(vec_cosine(embedding, q_emb) * 1e6) / 1e6 AS cos_q0,
+            |  round(vec_distsq(embedding, q_emb) * 1e6) / 1e6 AS dist_q0
+            |FROM graft_embeddings CROSS JOIN q
+            |ORDER BY vec_id""".stripMargin)
+      },
+      Some(oracle)),
+  )
+}

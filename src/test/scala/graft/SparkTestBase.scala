@@ -15,6 +15,10 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-tests")
+      // production registration path — specs exercising sql_surface (and
+      // any SQL-text use of the injected functions) see the same
+      // session-wide surface Bench/Verify run with
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
