@@ -33,11 +33,30 @@ package object core {
 
   /** Order-independent, engine-identical sum of a double column:
     * exact DECIMAL(25,6) accumulation, result cast back to double.
-    * DuckDB twin: CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE). */
+    * DuckDB twin: [[dsumSql]]. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast("double")
 
-  /** DuckDB twin of [[dsum]] for oracle SQL strings. */
-  def dsumSql(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+  /** DuckDB twin of [[dsum]] for oracle SQL strings. The decimal→double
+    * step goes THROUGH VARCHAR: DuckDB's direct decimal→double is
+    * double-rounded (hugeint→double, then /10⁶ — two float roundings),
+    * while Spark's Decimal.toDouble is correctly rounded
+    * (BigDecimal.doubleValue ≡ Double.parseDouble of the digits). The
+    * two agree until the exact sum carries more significant digits than
+    * a double holds (~10¹⁶ — first hit by price sums over the 'ALL'
+    * groups at the 100× decade), where direct conversion drifts 1 ulp
+    * on ~a third of rows. varchar→double is correctly rounded in both
+    * engines, so this spelling matches Spark bit-for-bit at any sum
+    * magnitude. */
+  def dsumSql(x: String): String =
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)"
+
+  /** [[dsum]] spelled as Spark SQL text (for queries whose Spark side IS
+    * SQL, e.g. agg_gsets): Spark's decimal→double cast is already
+    * correctly rounded, and Spark has no bare VARCHAR type, so the
+    * DuckDB-only varchar detour of [[dsumSql]] is neither needed nor
+    * parseable here. */
+  def dsumSparkSql(x: String): String =
+    s"CAST(sum(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
 
   /** Deterministic average built from the exact sum (identical double
     * division on both engines). */

@@ -22,8 +22,8 @@ object AdvancedQueries {
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
-              |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
-              |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+              |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (WHERE l_linestatus = 'F') AS VARCHAR) AS DOUBLE) AS qty_f,
+              |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (WHERE l_linestatus = 'O') AS VARCHAR) AS DOUBLE) AS qty_o
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Unpivot (melt): the inverse reshape, stack back to long form.
@@ -38,8 +38,8 @@ object AdvancedQueries {
         .orderBy("l_returnflag", "status"),
       Some(s"""WITH p AS (
               |  SELECT l_returnflag,
-              |    CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qf,
-              |    CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qo
+              |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (WHERE l_linestatus = 'F') AS VARCHAR) AS DOUBLE) AS qf,
+              |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (WHERE l_linestatus = 'O') AS VARCHAR) AS DOUBLE) AS qo
               |  FROM lineitem GROUP BY l_returnflag)
               |SELECT l_returnflag, status, qty FROM (
               |  SELECT l_returnflag, 'F' AS status, qf AS qty FROM p

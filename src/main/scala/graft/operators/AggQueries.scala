@@ -102,7 +102,7 @@ object AggQueries {
         Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
         s.sql(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
                  |  coalesce(o_orderpriority, 'ALL') AS prio,
-                 |  ${dsumSql("o_totalprice")} AS sum_price, count(1) AS n
+                 |  ${dsumSparkSql("o_totalprice")} AS sum_price, count(1) AS n
                  |FROM graft_orders_gs
                  |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
                  |ORDER BY status, prio""".stripMargin)

@@ -205,8 +205,8 @@ object TextQueries {
              |  SELECT doc_id, round(-ln(CAST(c AS DOUBLE) / n) * 1e6) / 1e6 AS nll
              |  FROM words JOIN census USING (w) CROSS JOIN tot)
              |SELECT doc_id, count(*) AS n_words,
-             |  CAST(sum(CAST(nll AS DECIMAL(25,6))) AS DOUBLE) AS sum_nll,
-             |  round(CAST(sum(CAST(nll AS DECIMAL(25,6))) AS DOUBLE) / count(*) * 1e6) / 1e6
+             |  CAST(CAST(sum(CAST(nll AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_nll,
+             |  round(CAST(CAST(sum(CAST(nll AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / count(*) * 1e6) / 1e6
              |    AS avg_nll
              |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 

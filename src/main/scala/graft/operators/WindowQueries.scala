@@ -111,8 +111,8 @@ object WindowQueries {
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id, value,
-             |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
-             |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3,
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_sum,
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(25,6))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS sum3,
              |  count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt3
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -154,7 +154,7 @@ object WindowQueries {
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
-             |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE) AS trailing30d_spend,
+             |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE) AS trailing30d_spend,
              |  count(*) OVER w AS trailing30d_orders
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
