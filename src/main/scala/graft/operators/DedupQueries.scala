@@ -151,11 +151,17 @@ object DedupQueries {
               |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
               |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2),
-              |pairs AS (
+              |pairs AS MATERIALIZED (
               |  SELECT d1, d2 FROM pr
               |  JOIN sz sa ON sa.doc_id = d1 JOIN sz sb ON sb.doc_id = d2
               |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
-              |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              |-- MATERIALIZED is load-bearing at scale: DuckDB inlines CTEs,
+              |-- so the recursive reach term would otherwise re-evaluate the
+              |-- whole shingle->pair pipeline EVERY iteration (observed at the
+              |-- 100x corpus: >60 GB of spill before filling the disk; with
+              |-- materialization the closure runs over the ~25k-row edge list).
+              |edges AS MATERIALIZED (
+              |          SELECT d1 AS a, d2 AS b FROM pairs
               |          UNION ALL SELECT d2, d1 FROM pairs),
               |reach(node, r) AS (
               |  SELECT doc_id, doc_id FROM documents

@@ -27,6 +27,18 @@ def canon(df):
 def main(sf_dir, out_dir):
     import os
     con = duckdb.connect()
+    # 100x-decade runs: DuckDB's default memory limit (80% of RAM) lets
+    # blocking operators build giant in-memory state whose spill can
+    # exceed the free disk (observed: dedup_cluster's shared-shingle
+    # pair join at scaledata/sf10 filled the device). A bounded limit
+    # spills earlier but far smaller. Optional, driver-compatible:
+    # unset means DuckDB defaults, as the real driver runs.
+    for pragma, env in [("memory_limit", "GRAFT_DUCKDB_MEMLIMIT"),
+                        ("threads", "GRAFT_DUCKDB_THREADS"),
+                        ("temp_directory", "GRAFT_DUCKDB_TEMPDIR")]:
+        v = os.environ.get(env)
+        if v:
+            con.execute(f"SET {pragma}='{v}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if not (os.path.exists(p) or glob.glob(p)):
