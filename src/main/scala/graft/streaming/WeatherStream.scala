@@ -245,10 +245,26 @@ object WeatherStream {
 
   /** Session-scoped temp root: namespaced by the Spark application id so
     * two concurrent JVMs running Bench/Verify on one machine can never
-    * wipe each other's staging/sink/checkpoint dirs mid-stream. */
-  private def tmpRoot(s: org.apache.spark.sql.SparkSession): java.io.File =
-    new java.io.File(sys.props("java.io.tmpdir"),
+    * wipe each other's staging/sink/checkpoint dirs mid-stream. Wiped by
+    * a JVM shutdown hook (registered once per application id): the
+    * staging/sink/checkpoint contents are only meaningful within the
+    * session that wrote them — a 100x Verify run otherwise leaves GBs of
+    * staged feed copies per invocation on a shared machine. A kill -9
+    * still leaves residue; harnesses that care sweep graft_* dirs whose
+    * application is gone. */
+  private val wipedRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def tmpRoot(s: org.apache.spark.sql.SparkSession): java.io.File = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${s.sparkContext.applicationId}")
+    if (wipedRoots.add(root.getAbsolutePath))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(root)
+      }))
+    root
+  }
 
   /** Start `df` as an append-mode parquet-sink query writing under
     * `base` ("out" + "ckpt" subdirs). Exposed so restart-from-checkpoint
