@@ -213,10 +213,16 @@ object Dedup {
     * survivor) and the cluster size. Documents with no near-dup form
     * singleton clusters of themselves.
     *
-    * Scale shape: each round is one equi-join edges⋈labels + one
-    * hash-agg — rounds needed = cluster diameter (near-dup clusters are
-    * shallow; ubiquitous-boilerplate chains are already cut by
-    * [[ngramJaccardPairs]]'s stop-shingle guard). Lineage is truncated
+    * Scale shape: the propagation loop runs over the EDGE-TOUCHED
+    * subgraph only — documents with no near-dup pair (the overwhelming
+    * majority of any real corpus) can never change label, so they are
+    * excluded up front and unioned back as singletons at the end. Each
+    * round is then one equi-join edges⋈labels + one hash-agg over frames
+    * bounded by 2·|pairs|, not |corpus| — at 100 TB the loop's cost
+    * follows the near-dup graph (millions of rows), not the document
+    * count (billions). Rounds needed = cluster diameter (near-dup
+    * clusters are shallow; ubiquitous-boilerplate chains are already cut
+    * by [[ngramJaccardPairs]]'s stop-shingle guard). Lineage is truncated
     * with an eager localCheckpoint per round (iterative-plan hygiene —
     * without it the plan doubles every round), and the driver-side loop
     * carries only a converged-or-not count, never data.
@@ -229,9 +235,11 @@ object Dedup {
       .select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").localCheckpoint(true)
-    var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
+    // propagate only where an edge exists; everything else is a singleton
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged) {
       val viaNeighbor = edges
         .join(labels.toDF("src", "src_label"), "src")
@@ -249,9 +257,12 @@ object Dedup {
       converged = updated.filter(col("changed")).isEmpty
       labels = updated.drop("changed")
     }
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
+    val allLabels = df.select(col(idCol).as("node"))
+      .join(labels.toDF("node", "lbl"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("label"))
+    val sizes = allLabels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+    allLabels.select(col("node").as(idCol), col("label").as("cluster_id"))
       .join(sizes, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"))
   }
