@@ -543,7 +543,7 @@ object Dedup {
                        bands: Int = EmbedBands,
                        targetOccupancy: Long = EmbedOccupancy,
                        dim: Int = EmbedDim): DataFrame = {
-    import graft.functions.VectorFunctions.{cosine, dot}
+    import graft.functions.VectorFunctions.{cosine, dot, lshBuckets}
     val ps = Similarity.planes(bands, EmbedBitsMax, dim)
     val sumSq = dot(col(vecCol), col(vecCol))
     // materialized once: feeds the count, BOTH banding sides, and both
@@ -553,15 +553,21 @@ object Dedup {
       .select((idCol +: vecCol +: blockCols).map(col): _*)
       .localCheckpoint(true)
     val bits = embedBits(base.count(), targetOccupancy)
-    def bandVal(b: Int, v: Column): Column =
-      (0 until bits).map { j =>
-        when(dot(v, array(ps(b * EmbedBitsMax + j).map(lit): _*)) >= 0.0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-
+    // All bands' signatures in ONE native pass over the vector
+    // ([[graft.expressions.LshBuckets]] — bit-identical to the per-plane
+    // `dot(v, array(lits)) >= 0` spelling: same ascending-index double
+    // fold, same `>= 0.0`-is-false-for-NaN). The compact plane matrix
+    // takes the first `bits` planes of each band at the EmbedBitsMax
+    // stride, preserving the bit-j ↔ plane(b·EmbedBitsMax+j) mapping the
+    // generated DuckDB oracle reproduces. At the 100× decade this
+    // replaces bands×bits (= 80 at bits=20) literal-array dot trees —
+    // each a separate vector traversal — with one cache-friendly loop.
+    val bandPlanes = Array.tabulate(bands * bits) { k =>
+      ps(k / bits * EmbedBitsMax + k % bits)
+    }
     val banded = base.select(
       col(idCol) +: blockCols.map(col) :+
-        posexplode(array((0 until bands).map(b => bandVal(b, col(vecCol))): _*)): _*)
+        posexplode(lshBuckets(col(vecCol), bandPlanes, bits)): _*)
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
     val x = banded.toDF("v1" +: blockCols ++: Seq("band_idx", "band_val"): _*)
