@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expressions.{LshBuckets, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
+import graft.expressions.{ArgMinDistSq, LshBuckets, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
 
 /** Vector math over `array<float>`/`array<double>` embedding columns
   * (NS mandate: similarity search).
@@ -26,6 +26,12 @@ object VectorFunctions {
     * (element t = table t's bucket) — see [[graft.expressions.LshBuckets]]. */
   def lshBuckets(emb: Column, planes: Array[Array[Double]], bits: Int): Column =
     ColumnBridge.column(LshBuckets(ColumnBridge.expression(emb), planes, bits))
+
+  /** Nearest centroid under squared L2 as `struct(d, j)` — distance and
+    * index, ties to the smallest index; the centroid matrix rides as one
+    * primitive reference object — see [[graft.expressions.ArgMinDistSq]]. */
+  def argMinDistSq(emb: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(ArgMinDistSq(ColumnBridge.expression(emb), centroids))
 
   /** Σ aᵢ·bᵢ in double precision. */
   def dot(a: Column, b: Column): Column = expr2(VecDot)(a, b)

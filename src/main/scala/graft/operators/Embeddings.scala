@@ -100,8 +100,9 @@ object Embeddings {
     * Fully deterministic, hence cross-engine oracle-checkable:
     *  - seed = the k vectors with the smallest ids (no RNG);
     *  - assignment = argmin squared-L2 via the codegen'd
-    *    [[graft.expressions.VecDistSq]] (left-to-right fold ≡ DuckDB
-    *    list_sum), ties to the smallest cluster index;
+    *    [[graft.expressions.ArgMinDistSq]] ([[graft.expressions.VecDistSq]]'s
+    *    left-to-right fold ≡ DuckDB list_sum, all k centroids in one
+    *    native pass), ties to the smallest cluster index;
     *  - update = per-dimension mean through exact DECIMAL(25,6)
     *    accumulation (order-free), empty clusters keep their centroid.
     *
@@ -121,15 +122,15 @@ object Embeddings {
       .localCheckpoint(true) // feeds iters+1 assignment passes
     var cents: Array[Array[Double]] = src.orderBy(idCol).limit(k)
       .select(vecCol).collect().map(_.getSeq[Double](0).toArray)
-    def assign(): DataFrame = {
-      val scored = cents.zipWithIndex.map { case (c, j) =>
-        struct(distSq(col(vecCol), array(c.map(lit): _*)).as("d"),
-          lit(j).as("j"))
-      }
-      src.withColumn("__best", array_min(array(scored: _*)))
+    // one native pass per row against the k×dim matrix (bit-identical
+    // to the array_min-of-struct(distSq(v, array(lit…)), j) spelling it
+    // replaces — same VecDistSq fold, same Double.compare tie-to-
+    // smallest-j order; SURVEY §7.3g: folded array(lit…) centroids are
+    // boxed, so the literal spelling paid k·dim unboxings per row)
+    def assign(): DataFrame =
+      src.withColumn("__best", argMinDistSq(col(vecCol), cents))
         .select(col(idCol), col(vecCol),
           col("__best.j").as("cluster"), col("__best.d").as("dist_sq"))
-    }
     for (_ <- 1 to iters) {
       val sums = assign()
         .select(col("cluster"), posexplode(col(vecCol)))

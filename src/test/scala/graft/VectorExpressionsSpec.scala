@@ -107,4 +107,34 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
       assert(res.get(id + 10000L).contains(id), s"knnI8 top-1 for planted $id: $res")
     }
   }
+
+  test("ArgMinDistSq native expression == the array_min-of-struct literal spelling") {
+    // random vectors + adversarial rows: an exact tie between centroids
+    // 1 and 2 (must pick the smaller index) and a NaN coordinate (a NaN
+    // distance loses to any real one under struct MIN's Double order).
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(5)(Array.fill(8)(rnd.nextGaussian()))
+    cents(2) = cents(1).clone() // duplicate centroid: every row ties 1-vs-2
+    val rows = Seq.fill(50)(Seq.fill(8)(rnd.nextGaussian().toFloat)) ++
+      Seq(Seq.fill(8)(Float.NaN), cents(1).map(_.toFloat).toSeq)
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val literal = df.select(col("id"), array_min(array(
+      cents.zipWithIndex.map { case (c, j) =>
+        struct(distSq(col("v"), array(c.map(lit): _*)).as("d"), lit(j).as("j"))
+      }: _*)).as("best"))
+    val native = df.select(col("id"), argMinDistSq(col("v"), cents).as("best"))
+    def m(r: org.apache.spark.sql.Row) = // longBits: NaN must equal NaN here
+      r.getLong(0) -> ((java.lang.Double.doubleToLongBits(r.getStruct(1).getDouble(0)),
+        r.getStruct(1).getInt(1)))
+    val (l, n) = (literal.collect().map(m).toMap, native.collect().map(m).toMap)
+    assert(n === l)
+    assert(n.values.exists(_._2 == 1) && !n.values.exists(_._2 == 2),
+      "tie rows must resolve to the smaller duplicate-centroid index")
+    // Interpreted path agrees with the codegen path exercised above.
+    val ev = ArgMinDistSq(litF(vecs(0) ++ vecs(1)), cents).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val viaDf = Seq(Tuple1(vecs(0) ++ vecs(1))).toDF("v")
+      .select(argMinDistSq(col("v"), cents).as("best")).head().getStruct(0)
+    assert((ev.getDouble(0), ev.getInt(1)) === ((viaDf.getDouble(0), viaDf.getInt(1))))
+  }
 }
