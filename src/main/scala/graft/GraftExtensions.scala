@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.expressions.{CharGramHash, ShingleHash, TokenMask, TokenMatchCount, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
-import graft.plans.AsofJoinStrategy
+import graft.plans.{AsofJoinStrategy, AsofLE, AsofSqlRule}
 
 /** Production registration path: build the session with
   *
@@ -71,6 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(es.length >= 2, "token_match_count(text, entity...)")
         TokenMatchCount(es.head, es.tail.map(strLit(_, "token_match_count")))
       }))
+    // SQL-text as-of join: `l LEFT JOIN r ON l.k = r.k AND asof_le(r.t,
+    // l.t)` — the asof_le marker + resolution rule rewrite the join into
+    // the AsofJoin logical node, which the strategy below plans as the
+    // merge AsofJoinExec (see graft.plans.AsofSql).
+    ext.injectFunction(fn("asof_le", es => AsofLE(es(0), es(1))))
+    ext.injectResolutionRule(_ => AsofSqlRule)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

@@ -75,6 +75,23 @@ case class ArgMinDistSq(child: Expression, centroids: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  /** Deep (value) equality over the centroid matrix: the default
+    * case-class equality compares `Array` fields by REFERENCE, so two
+    * semantically identical nodes never compared equal — which defeated
+    * semanticEquals/canonicalization (e.g. common-subexpression
+    * elimination would re-evaluate an identical argmin). */
+  override def equals(other: Any): Boolean = other match {
+    case that: ArgMinDistSq =>
+      child == that.child && java.util.Arrays.deepEquals(
+        centroids.asInstanceOf[Array[AnyRef]],
+        that.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
 }
 
 /** Static helper called from generated code. */

@@ -70,6 +70,21 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]], bits: Int
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  /** Deep (value) equality over the plane matrix — same rationale as
+    * [[ArgMinDistSq.equals]]: reference equality on `Array` fields
+    * defeated expression canonicalization. */
+  override def equals(other: Any): Boolean = other match {
+    case that: LshBuckets =>
+      child == that.child && bits == that.bits && java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]],
+        that.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + bits) +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
 }
 
 /** Static helper called from generated code. */

@@ -27,8 +27,10 @@ object EmbeddingQueries {
 
   /** Generated unrolled-iteration twin of [[Embeddings.kmeans]]: c0 =
     * smallest-id seeds, then per iteration an assignment CTE (argmin by
-    * (dist, j) row_number) and a centroid-update CTE (DECIMAL(25,6)
-    * per-dimension means, empty clusters keep their centroid). Every base
+    * (dist, j) row_number) and a centroid-update CTE (per-dimension
+    * [[graft.core.dsumSql]] DECIMAL(25,6) means — the VARCHAR-detour
+    * spelling, like every other decimal→double oracle site; empty
+    * clusters keep their centroid). Every base
     * scan excludes null vectors — the engine side excludes them up front
     * (Embeddings.kmeans), so the oracle must share the exclusion rule
     * rather than rely on the corpus staying null-free. */
@@ -52,7 +54,7 @@ object EmbeddingQueries {
              |  SELECT p.j, coalesce(u.c, p.c) AS c FROM c${t - 1} p LEFT JOIN (
              |    SELECT j, list(v ORDER BY i) AS c FROM (
              |      SELECT a.j, i,
-             |        CAST(sum(CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS v
+             |        ${dsumSql("CAST(a.embedding[i] AS DOUBLE)")} / count(*) AS v
              |      FROM a$t a CROSS JOIN range(1, ${Dim + 1}) t(i)
              |      GROUP BY a.j, i) GROUP BY j) u ON u.j = p.j)""".stripMargin
     b ++= s""",

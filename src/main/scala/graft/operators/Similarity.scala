@@ -110,6 +110,20 @@ object Similarity {
     * The sample is `xxhash64(id) % 1e6 < threshold` — reproducible across
     * sessions/executors (no RNG), so the same corpus always yields the
     * same codebook (SimilaritySpec pins build ≡ in-memory round-trip).
+    *
+    * The full-corpus ASSIGNMENT pass is the native codegen'd
+    * [[graft.expressions.ArgMinDistSq]] over the fitted centroid matrix
+    * (one primitive double[] reference object, exact per-centroid
+    * (aᵢ−cᵢ)² folds, ties to the smaller cell id) — NOT MLlib
+    * `KMeansModel.transform`, whose per-row UDF over ML Vector structs
+    * sits outside whole-stage codegen and dominated the measured 2×10⁷
+    * build (RECALL.md; the same swap took emb_kmeans 1.00→0.73 s at
+    * sf0.1, SURVEY §7.3g). `transform`'s triangle-inequality shortcut
+    * computes distances via the |a|²+|b|²−2ab identity, so on
+    * near-equidistant ties the two argmins can differ by an ulp's worth
+    * of assignment — immaterial for IVF (the cell is a blocking key;
+    * recall is measured against exact kNN either way), and the exact
+    * fold is the more faithful argmin of the two.
     * @param n corpus row count (the caller already has it for the manifest)
     * @return (codebook (cell, ctr), cells (id, emb, cell)) */
   private def ivfFit(c: DataFrame, nlist: Int, maxIter: Int,
@@ -118,7 +132,6 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val s = c.sparkSession
     import s.implicits._
-    val fv = c.withColumn("__fv", array_to_vector(col("emb").cast("array<double>")))
     val target = fitSampleSize(nlist)
     // 1.2× headroom: the hash sample is binomial around the target; the
     // fit only needs "enough points per cell", never an exact count.
@@ -132,17 +145,22 @@ object Similarity {
     // exists for). Driver-side double math is deterministic: same
     // (target, n) → same threshold on every JVM.
     val M = 1L << 40
-    val fitSrc =
-      if (n <= target) fv
-      else fv.filter(pmod(xxhash64(col("id")), lit(M)) <
+    val fitBase =
+      if (n <= target) c
+      else c.filter(pmod(xxhash64(col("id")), lit(M)) <
         lit(math.min(M, math.ceil(1.2 * target.toDouble / n * M).toLong)))
     val fitted = new KMeans().setK(nlist).setSeed(42).setMaxIter(maxIter)
       .setFeaturesCol("__fv").setPredictionCol("cell")
-      .fit(fitSrc)
-    val codebook = fitted.clusterCenters.zipWithIndex
-      .map { case (ctr, j) => (j, ctr.toArray) }.toSeq
+      .fit(fitBase.withColumn("__fv",
+        array_to_vector(col("emb").cast("array<double>"))))
+    val ctrs: Array[Array[Double]] = fitted.clusterCenters.map(_.toArray)
+    val codebook = ctrs.zipWithIndex
+      .map { case (ctr, j) => (j, ctr) }.toSeq
       .toDF("cell", "ctr")
-    (codebook, fitted.transform(fv).select(col("id"), col("emb"), col("cell")))
+    // one codegen'd pass: no Vector conversion, no UDF — see scaladoc
+    val cells = c.select(col("id"), col("emb"),
+      argMinDistSq(col("emb"), ctrs).getField("j").as("cell"))
+    (codebook, cells)
   }
 
   /** Rank centroids per query and explode to (q_id, q_emb, cell) probe

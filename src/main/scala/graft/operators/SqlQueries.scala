@@ -66,5 +66,35 @@ object SqlQueries {
             |ORDER BY vec_id""".stripMargin)
       },
       Some(oracle)),
+
+    // The SQL-text as-of join: same computation and DuckDB oracle as
+    // join_asof_custom (ASOF LEFT JOIN — latest click at or before each
+    // purchase, right side pre-reduced to one row per (user, ts)), but
+    // spelled ENTIRELY as spark.sql text: the extension-injected asof_le
+    // marker + AsofSqlRule rewrite the LEFT JOIN into the custom merge
+    // AsofJoinExec (one shuffle + sort per side, no range-match blow-up
+    // — GraftExtensionsSpec pins the physical plan node). A production
+    // SQL caller gets the 100 TB merge shape with no Scala anywhere.
+    Q("sql_asof",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("graft_events")
+        s.sql(
+          """WITH p AS (SELECT event_id, user_id, ts FROM graft_events
+            |           WHERE event_type = 'purchase'),
+            |     c AS (SELECT user_id AS c_user, ts AS c_ts,
+            |                  max(event_id) AS click_id
+            |           FROM graft_events WHERE event_type = 'click'
+            |           GROUP BY 1, 2)
+            |SELECT p.event_id, p.user_id, unix_micros(p.ts) AS ts_us, click_id
+            |FROM p LEFT JOIN c ON p.user_id = c_user AND asof_le(c_ts, p.ts)
+            |ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+             |                FROM events WHERE event_type = 'click'
+             |                GROUP BY 1, 2) c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
   )
 }

@@ -246,23 +246,31 @@ object WeatherStream {
   /** Session-scoped temp root: namespaced by the Spark application id so
     * two concurrent JVMs running Bench/Verify on one machine can never
     * wipe each other's staging/sink/checkpoint dirs mid-stream. Wiped by
-    * a JVM shutdown hook (registered once per application id): the
-    * staging/sink/checkpoint contents are only meaningful within the
-    * session that wrote them — a 100x Verify run otherwise leaves GBs of
-    * staged feed copies per invocation on a shared machine. A kill -9
-    * still leaves residue; harnesses that care sweep graft_* dirs whose
-    * application is gone. */
+    * ONE JVM shutdown hook that drains [[wipedRoots]] — a long-lived JVM
+    * creating many sessions accumulates root PATHS in the set, not hook
+    * THREADS (the earlier one-hook-per-application-id spelling leaked a
+    * parked thread per session). The staging/sink/checkpoint contents
+    * are only meaningful within the session that wrote them — a 100x
+    * Verify run otherwise leaves GBs of staged feed copies per
+    * invocation on a shared machine. A kill -9 still leaves residue;
+    * harnesses that care sweep graft_* dirs whose application is gone. */
   private val wipedRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Registered at most once per JVM; `lazy` so the registration races
+    * nothing, and swallows IllegalStateException for a tmpRoot call that
+    * lands after shutdown has begun (the hook could not run anyway). */
+  private lazy val wipeHook: Unit =
+    try Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      wipedRoots.forEach(p => rm(new java.io.File(p)))
+    }))
+    catch { case _: IllegalStateException => () }
   private def tmpRoot(s: org.apache.spark.sql.SparkSession): java.io.File = {
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_${s.sparkContext.applicationId}")
-    if (wipedRoots.add(root.getAbsolutePath))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(root)
-      }))
+    wipedRoots.add(root.getAbsolutePath)
+    wipeHook
     root
   }
 

@@ -94,4 +94,46 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .toMap
     assert(got === Map("a" -> None, "b" -> Some(7.5)))
   }
+
+  test("asof_le in pure SQL text plans as the custom merge AsofJoinExec") {
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag").createOrReplaceTempView("ext_asof_l")
+    Seq((1L, 15L, 7.5), (1L, 3L, 1.5), (2L, 9L, 9.9))
+      .toDF("k", "t", "v").createOrReplaceTempView("ext_asof_r")
+    val df = spark.sql(
+      """SELECT l.tag, r.v FROM ext_asof_l l
+        |LEFT JOIN ext_asof_r r ON l.k = r.k AND asof_le(r.t, l.t)
+        |ORDER BY l.tag""".stripMargin)
+    // the rewrite happened: the physical plan contains the merge node
+    // (sparkPlan, not executedPlan — AQE wraps the latter in an opaque
+    // AdaptiveSparkPlanExec leaf that tree traversal does not enter)
+    assert(df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[graft.plans.AsofJoinExec]),
+      df.queryExecution.sparkPlan.toString)
+    val got = df.collect().map(x =>
+      x.getString(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+    // a: latest r.t <= 10 is 3 -> 1.5; b: 15 -> 7.5; c: no r.t <= 5 -> null
+    assert(got.toSeq === Seq("a" -> Some(1.5), "b" -> Some(7.5), "c" -> None))
+  }
+
+  test("asof_le outside the rewrite contract fails loudly, never degrades to <=") {
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("k", "t").createOrReplaceTempView("ext_asof_bad_l")
+    Seq((1L, 5L)).toDF("k", "t").createOrReplaceTempView("ext_asof_bad_r")
+    // INNER join: not rewritten -> analysis error naming the contract
+    val inner = intercept[Exception] {
+      spark.sql("""SELECT * FROM ext_asof_bad_l l
+                  |JOIN ext_asof_bad_r r ON l.k = r.k AND asof_le(r.t, l.t)
+                  |""".stripMargin).collect()
+    }
+    assert(inner.getMessage.contains("asof_le"))
+    // reversed argument sides: rejected, not silently forward-asof
+    val rev = intercept[Exception] {
+      spark.sql("""SELECT * FROM ext_asof_bad_l l
+                  |LEFT JOIN ext_asof_bad_r r ON l.k = r.k AND asof_le(l.t, r.t)
+                  |""".stripMargin).collect()
+    }
+    assert(rev.getMessage.contains("right-side"))
+  }
 }
