@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** The reference's physical-derivation formulas as pure column expressions
   * (zero UDFs — every one of these stays inside whole-stage codegen).
@@ -21,14 +22,24 @@ object WeatherFunctions {
     lit(237.7) * gamma / (lit(17.7) - gamma)
   }
 
+  /** ECMAScript `x.toFixed(d)` — the reference's wire-format rounding
+    * (exact-binary half-away-from-zero, no thousands separators); see
+    * [[graft.expressions.JsToFixed]] for why neither `format_number`
+    * nor `format_string("%.Nf", …)` reproduces it. */
+  def jsToFixed(c: Column, d: Int): Column =
+    ColumnBridge.column(
+      graft.expressions.JsToFixed(ColumnBridge.expression(c), d))
+
   /** Wind-direction decode: 16-sector index (0=N, 1=NNE, ...) → degrees
     * string; sector 0 reports as "360" (WOW treats 0° as shifting winds) and
     * calm air (ws == 0) reports "000" (MetOffice_WOW_Connect.txt:282-290,
-    * 306-307). */
+    * 306-307). `(winddir * 22.5).toFixed(0)` as written (`:290`) — every
+    * sector degree is an exact binary multiple of 22.5, so the halves
+    * (22.5, 67.5, 157.5, …) genuinely round UP like JS. */
   def windDirDeg(wd: Column, ws: Column): Column =
     when(ws === 0.0, lit("000"))
       .when(wd === 0, lit("360"))
-      .otherwise(format_string("%.0f", wd.cast("double") * lit(22.5)))
+      .otherwise(jsToFixed(wd.cast("double") * lit(22.5), 0))
 
   /** Numeric twin of [[windDirDeg]] for oracle-checked queries (SURVEY.md
     * §7.3 keeps string formatting out of the hash compare). */

@@ -15,9 +15,19 @@ object Scale {
     * `buckets` reducers. Semantics are identical to `big.join(small, key)`
     * for 1:N joins (small side unique per key) — proven in ScaleSpec.
     *
-    * AQE's skew-join handles sort-merge skew automatically at runtime;
-    * explicit salting remains the tool when the skew is extreme or the
-    * join is hash-based.
+    * MEASURED guidance (SKEW.md, `graft.SkewBench`: half of all fact
+    * rows on one key, non-broadcastable dim): prefer AQE's skew-join.
+    * At 2×10⁸ fact rows AQE beats salting OUTRIGHT — 7.6 s (defaults) /
+    * 6.3 s (tuned thresholds) vs salting's 23.2 s — because once the
+    * hot partition crosses `skewedPartitionThresholdInBytes` (256 MB
+    * default) AQE splits exactly the oversized partition, while salting
+    * pays its ×buckets dim replication and wider shuffle on EVERY row
+    * at full volume. Salting wins only where AQE cannot see or act on
+    * the skew: hot partitions UNDER the threshold on default settings
+    * (the 2×10⁷ row: AQE-default straggler 3.3 s vs salted 2.2 s —
+    * though tuning the threshold, 1.4 s, still beats salting there),
+    * non-adaptive plans, streaming joins, or when the split must be
+    * deterministic rather than runtime-decided.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltSource: String, buckets: Int): DataFrame = {

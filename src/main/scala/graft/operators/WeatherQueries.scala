@@ -218,22 +218,29 @@ object WeatherQueries {
              |ORDER BY event_id""".stripMargin)),
 
     // O20+O21: the actual WOW wire format — all 12 fields as strings with
-    // the reference's toFixed() decimal places (:349-365,373-387). String
-    // formatting stays out of the DuckDB oracle (SURVEY.md §7.3);
-    // golden-pinned in WeatherFunctionsSpec instead.
+    // the reference's toFixed() semantics (:349-365,373-387): the seven
+    // toFixed fields go through the native JsToFixed expression
+    // (exact-binary half-away-from-zero, no thousands separators — the
+    // spec-faithful rule format_number/format_string both miss; corner
+    // table golden-pinned against a real JS engine in
+    // WeatherFunctionsSpec). String formatting stays out of the DuckDB
+    // oracle (SURVEY.md §7.3). humidity is posted raw in the reference
+    // (`'humidity': hum`, :378 — never toFixed'd); winddir arrives
+    // already formatted by windDirDeg (:288-307).
     Q("wx_wow_record_wire",
       (s, dir) => {
+        import graft.functions.WeatherFunctions.jsToFixed
         val rec = wowRecord(s, dir)
         rec.select(col("event_id"), col("siteid"), col("dateutc"),
-          format_number(col("tempf"), 1).as("tempf"),
+          jsToFixed(col("tempf"), 1).as("tempf"),
           format_number(col("humidity"), 0).as("humidity"),
-          format_number(col("windspeedmph"), 2).as("windspeedmph"),
-          format_number(col("windgustmph"), 2).as("windgustmph"),
+          jsToFixed(col("windspeedmph"), 2).as("windspeedmph"),
+          jsToFixed(col("windgustmph"), 2).as("windgustmph"),
           format_string("%.0f", col("winddir")).as("winddir"),
-          format_number(col("dewptf"), 1).as("dewptf"),
-          format_number(col("dailyrainin"), 3).as("dailyrainin"),
-          format_number(col("rainin"), 3).as("rainin"),
-          format_number(col("baromin"), 3).as("baromin"),
+          jsToFixed(col("dewptf"), 1).as("dewptf"),
+          jsToFixed(col("dailyrainin"), 3).as("dailyrainin"),
+          jsToFixed(col("rainin"), 3).as("rainin"),
+          jsToFixed(col("baromin"), 3).as("baromin"),
           col("softwaretype"))
           .orderBy("event_id")
       },

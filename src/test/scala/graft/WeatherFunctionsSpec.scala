@@ -55,6 +55,37 @@ class WeatherFunctionsSpec extends AnyFunSuite with SparkTestBase {
       1000.0 * 1.0005889380830755)
   }
 
+  test("jsToFixed reproduces ECMAScript toFixed on the rounding-corner table (ref :349-365)") {
+    def fx(x: Double, d: Int): String =
+      spark.range(1).select(jsToFixed(lit(x), d)).head().getString(0)
+    // Golden values computed with a real JS engine (node 22,
+    // `x.toFixed(d)`). Three corner families, each breaking one stock
+    // Spark spelling:
+    // 1. exact binary halves — toFixed rounds AWAY from zero, where
+    //    format_number (DecimalFormat HALF_EVEN) rounds to even:
+    assert(fx(0.125, 2) === "0.13") // format_number: "0.12"
+    assert(fx(2.5, 0) === "3")      // format_number: "2"
+    assert(fx(3.5, 0) === "4")      // agree (4 is even) — table anchor
+    assert(fx(1.25, 1) === "1.3")
+    assert(fx(-1.25, 1) === "-1.3") // away from zero, also for negatives
+    // 2. decimal-looking halves that are binary-below-half — toFixed
+    //    rounds the EXACT binary value, where format_string %.Nf
+    //    (Java Formatter) re-rounds the shortest decimal repr upward:
+    assert(fx(0.615, 2) === "0.61") // %.2f: "0.62" (0.615 = 0.61499…)
+    assert(fx(1.005, 2) === "1.00") // %.2f: "1.01" (1.005 = 1.00499…)
+    // 3. domain values from the reference's own conversions (:349-365),
+    //    computed through the as-written JS pipeline in node:
+    assert(fx((12.345 * 1.8) + 32, 1) === "54.2")          // tempf
+    assert(fx(4.47 * 2.236936, 2) === "10.00")             // windspeedmph
+    assert(fx(3.175 * 0.0393701, 3) === "0.125")           // dailyrainin
+    assert(fx(1013.25 * 0.029529983071445, 3) === "29.921") // baromin
+    // edges: tiny magnitudes, negative zero, non-finite
+    assert(fx(0.0005, 3) === "0.001")
+    assert(fx(0.0005, 2) === "0.00")
+    assert(fx(-0.0, 2) === "0.00")
+    assert(fx(Double.NaN, 2) === "NaN")
+  }
+
   test("wire record formats with the reference's toFixed decimal places (ref :349-365)") {
     val row = graft.SparkEntry.queries("wx_wow_record_wire")(spark, SF)
       .orderBy("event_id").limit(1).collect().head

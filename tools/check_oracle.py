@@ -38,7 +38,9 @@ def main(sf_dir, out_dir):
                         ("temp_directory", "GRAFT_DUCKDB_TEMPDIR")]:
         v = os.environ.get(env)
         if v:
-            con.execute(f"SET {pragma}='{v}'")
+            # parameter binding, not f-string interpolation: a value with
+            # a quote otherwise breaks the statement confusingly
+            con.execute(f"SET {pragma} = ?", [v])
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if not (os.path.exists(p) or glob.glob(p)):
@@ -141,8 +143,36 @@ def main(sf_dir, out_dir):
             record(name, True, spark_rows=len(got), oracle_rows=len(exp))
     print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} total")
     if len(sys.argv) > 3:
+        # provenance header: which corpus/HEAD/date this artifact
+        # certifies — the three-scale gate is auditable from the
+        # artifacts alone ("_meta" sorts before the lowercase query ids)
+        import datetime
+        import subprocess
+        try:
+            head = subprocess.run(
+                ["git", "-C", os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10).stdout.strip()
+        except Exception:
+            head = None
+        n_no_oracle = sum(1 for v in report.values()
+                          if v.get("err") == "no_oracle")
+        meta = {
+            "sf_dir": os.path.abspath(sf_dir),
+            "verify_dir": os.path.abspath(out_dir),
+            "git_head": head or None,
+            "date_utc": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds"),
+            "queries_total": len(report),
+            "oracled": len(oracle),
+            "no_oracle": n_no_oracle,
+            "oracled_pass": n_pass,
+            "oracled_fail": n_fail,
+        }
+        out = {"_meta": meta}
+        out.update(dict(sorted(report.items())))
         with open(sys.argv[3], "w") as f:
-            json.dump(dict(sorted(report.items())), f, indent=2)
+            json.dump(out, f, indent=2)
         print(f"wrote {sys.argv[3]}")
     return 1 if n_fail else 0
 

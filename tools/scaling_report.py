@@ -62,6 +62,44 @@ STREAMING_NOTE = ("streaming: fixed trigger/checkpoint overhead dominates "
                   "at bench scale (see streaming_sec in BENCH_r*.json); "
                   "state partitions are sized from staged feed bytes")
 
+# Shape notes for the heaviest PLAIN rows (>10 s at the 100x decade with
+# healthy sub-linear/linear ratios): a user sizing a deployment from the
+# artifact should see each expensive row's cost model, not a bare number.
+SHAPE_NOTES = {
+    "dedup_cluster": (
+        "iterative connected components over the edge-touched subgraph "
+        "only: rounds = near-dup cluster diameter; per-round frames "
+        "bounded by 2x|candidate pairs|, not |corpus| (Dedup.scala "
+        "nearDupClusters)"),
+    "dedup_incremental": (
+        "batch JOIN corpus on shared-shingle buckets only: cost follows "
+        "|new batch| x matching buckets plus one corpus scan, never "
+        "corpus x corpus"),
+    "dedup_minhash": (
+        "banded MinHash: shingle -> minhash signature -> band buckets; "
+        "candidate pairs come from a bucket equi-join (shuffle on band "
+        "key), never all-pairs"),
+    "dedup_simhash_verify": (
+        "simhash band-blocked candidates + exact Hamming verify: pair "
+        "work follows bucket collisions (~linear for non-adversarial "
+        "corpora), verify is a codegen'd popcount per candidate"),
+    "join_salted": (
+        "salt-explode equi-join, result == plain join: fact side gains a "
+        "salt column, dim side replicates x16; one shuffle, sub-linear "
+        "decades"),
+    "ts_gapfill": (
+        "one events scan (checkpointed hourly aggregate) + dense "
+        "time-grid join + last-observation fill window; decade ratio "
+        "tracks the data factor"),
+    "wx_wow_record_wire": (
+        "per-observation 12-field wire formatting (string building "
+        "dominates, one pass, no shuffle beyond the output sort); "
+        "~linear by decade"),
+    "agg_approx_quantile": (
+        "KLL/GK-family sketch per group: map-side partial sketches "
+        "merged once; wall tracks rows scanned"),
+}
+
 
 def main() -> None:
     a_path, b_path = sys.argv[1], sys.argv[2]
@@ -115,6 +153,14 @@ def main() -> None:
                 and name not in EXPECTED_SUPERLINEAR
                 and name not in EXPECTED_SORT_BOUND):
             notes.append("SUPERLINEAR at 100x")
+        # expensive-row shape notes: any row >10 s at the 100x decade
+        # must state its cost model in the artifact itself
+        if row.get("t_100x") is not None and row["t_100x"] > 10:
+            if name in SHAPE_NOTES:
+                notes.append(SHAPE_NOTES[name])
+            elif not notes:
+                notes.append("HEAVY-UNANNOTATED: add a shape note to "
+                             "SHAPE_NOTES in tools/scaling_report.py")
         row["note"] = "; ".join(notes)
         rows.append(row)
     out = {
