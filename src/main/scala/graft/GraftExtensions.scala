@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.expressions.{CharGramHash, ShingleHash, TokenMask, TokenMatchCount, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
+import graft.expressions.{CharGramHash, JsToFixed, ShingleHash, TokenMask, TokenMatchCount, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
 import graft.plans.{AsofJoinStrategy, AsofLE, AsofSqlRule}
 
 /** Production registration path: build the session with
@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Literal(n: Int, IntegerType) => CharGramHash(es(0), n)
       case other => throw new IllegalArgumentException(
         s"char_gram_hash(text, n): n must be an integer literal, got $other")
+    }))
+    // ECMAScript toFixed (the WOW wire-format rounding) for SQL callers
+    ext.injectFunction(fn("js_to_fixed", es => es(1) match {
+      case Literal(d: Int, IntegerType) => JsToFixed(es(0), d)
+      case other => throw new IllegalArgumentException(
+        s"js_to_fixed(x, d): d must be an integer literal, got $other")
     }))
     // Variadic: token_mask(text, replacement, entity...) /
     // token_match_count(text, entity...) — entities are string literals

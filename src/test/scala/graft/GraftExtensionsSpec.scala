@@ -79,6 +79,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("string literals"))
   }
 
+  test("js_to_fixed is a SQL function with ECMAScript corner semantics") {
+    val r = spark.sql(
+      "SELECT js_to_fixed(0.125D, 2) AS a, js_to_fixed(0.615D, 2) AS b, " +
+        "js_to_fixed(-1.25D, 1) AS c").head()
+    assert(r.getString(0) === "0.13") // exact-binary half, away from zero
+    assert(r.getString(1) === "0.61") // 0.615 is really 0.61499…
+    assert(r.getString(2) === "-1.3")
+    val err = intercept[Exception] {
+      spark.sql("SELECT js_to_fixed(1.5D, d) FROM (SELECT 2 AS d)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("asof strategy is planner-registered (no Asof.join self-registration)") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge

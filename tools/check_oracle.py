@@ -38,9 +38,10 @@ def main(sf_dir, out_dir):
                         ("temp_directory", "GRAFT_DUCKDB_TEMPDIR")]:
         v = os.environ.get(env)
         if v:
-            # parameter binding, not f-string interpolation: a value with
-            # a quote otherwise breaks the statement confusingly
-            con.execute(f"SET {pragma} = ?", [v])
+            # DuckDB SET does not accept bound parameters, so escape
+            # single quotes instead — a value containing one otherwise
+            # breaks the statement confusingly
+            con.execute(f"""SET {pragma}='{v.replace("'", "''")}'""")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if not (os.path.exists(p) or glob.glob(p)):
