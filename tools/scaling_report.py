@@ -98,6 +98,21 @@ SHAPE_NOTES = {
     "agg_approx_quantile": (
         "KLL/GK-family sketch per group: map-side partial sketches "
         "merged once; wall tracks rows scanned"),
+    "dedup_ngram": (
+        "n-gram Jaccard via shared-shingle equi-join with a stop-shingle "
+        "guard (top-collision shingles dropped from candidate keys): pair "
+        "work follows bucket collisions, never corpus x corpus; integer "
+        "Jaccard verify per candidate"),
+    "math_funcs": (
+        "per-row codegen'd scalar math over the full lineitem width; at "
+        "scale the wall is the oracle contract's total-order output sort "
+        "(n log n over wide rows), not the operators"),
+    "sim_knn_ivf_i8": (
+        "IVF build (sampled fit + cell-partitioned write, paid once "
+        "offline and amortized) + partition-pruned int8 probe; serving "
+        "slope is ~sqrt(n) at fixed query batch — measured in RECALL.md; "
+        "the bench row rebuilds the index per run AND scales the query "
+        "set with the corpus, so it carries the quadratic workload term"),
 }
 
 
