@@ -26,11 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * bit-faithful to the spec algorithm (WeatherFunctionsSpec pins the
   * corner table against values computed by a real JS engine).
   *
+  * The sign is handled BEFORE rounding, exactly as the spec does (step
+  * "if x < 0, s = \"-\", x = −x"): a small negative that rounds to zero
+  * keeps its sign — `(-0.04).toFixed(1)` is `"-0.0"` — which a plain
+  * BigDecimal round would lose (BigDecimal has no signed zero). −0.0
+  * itself formats unsigned (`"0.00…"`) because IEEE `-0.0 < 0` is false,
+  * again matching the spec's test.
+  *
   * Scope: |x| < 10²¹ (above that the JS spec switches to Number::
   * toString exponent form; every wire field is bounded orders of
   * magnitude below). Non-finite inputs return "NaN"/"Infinity"/
-  * "-Infinity" like JS; −0.0 formats as "0.00…" (BigDecimal drops the
-  * sign, as does toFixed).
+  * "-Infinity" like JS.
   */
 case class JsToFixed(child: Expression, digits: Int) extends UnaryExpression {
   require(digits >= 0 && digits <= 100, "js_to_fixed: digits must be in [0, 100]")
@@ -60,7 +66,14 @@ object JsToFixedUtil {
   def format(x: Double, d: Int): UTF8String = UTF8String.fromString {
     if (java.lang.Double.isNaN(x)) "NaN"
     else if (java.lang.Double.isInfinite(x)) { if (x > 0) "Infinity" else "-Infinity" }
-    else new java.math.BigDecimal(x)
-      .setScale(d, java.math.RoundingMode.HALF_UP).toPlainString
+    else {
+      // spec order: strip the sign FIRST (x < 0 is false for -0.0), round
+      // the magnitude, re-prepend — so "-0.0" survives where BigDecimal's
+      // unsigned zero would drop it
+      val neg = x < 0
+      val body = new java.math.BigDecimal(if (neg) -x else x)
+        .setScale(d, java.math.RoundingMode.HALF_UP).toPlainString
+      if (neg) "-" + body else body
+    }
   }
 }

@@ -79,10 +79,16 @@ class WeatherFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(fx(4.47 * 2.236936, 2) === "10.00")             // windspeedmph
     assert(fx(3.175 * 0.0393701, 3) === "0.125")           // dailyrainin
     assert(fx(1013.25 * 0.029529983071445, 3) === "29.921") // baromin
-    // edges: tiny magnitudes, negative zero, non-finite
+    // edges: tiny magnitudes, signed zero, non-finite. The spec strips
+    // the sign BEFORE rounding ("if x < 0, s = '-', x = -x"), so a small
+    // negative that rounds to zero KEEPS its sign — while -0.0 itself is
+    // unsigned because IEEE -0.0 < 0 is false:
     assert(fx(0.0005, 3) === "0.001")
     assert(fx(0.0005, 2) === "0.00")
     assert(fx(-0.0, 2) === "0.00")
+    assert(fx(-0.04, 1) === "-0.0")   // node: (-0.04).toFixed(1) === "-0.0"
+    assert(fx(-0.0005, 2) === "-0.00")
+    assert(fx(-0.5, 0) === "-1")      // away from zero through the sign split
     assert(fx(Double.NaN, 2) === "NaN")
   }
 
