@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.expressions.{CharGramHash, JsToFixed, ShingleHash, TokenMask, TokenMatchCount, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
+import graft.expressions.{CharGramHash, JsNumberString, JsToFixed, ShingleHash, TokenMask, TokenMatchCount, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
 import graft.plans.{AsofJoinStrategy, AsofLE, AsofSqlRule}
 
 /** Production registration path: build the session with
@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other => throw new IllegalArgumentException(
         s"js_to_fixed(x, d): d must be an integer literal, got $other")
     }))
+    // ECMAScript Number::toString (raw-number serialization, e.g. the
+    // wire's unformatted humidity field)
+    ext.injectFunction(fn("js_number_str", es => JsNumberString(es.head),
+      arity = 1))
     // Variadic: token_mask(text, replacement, entity...) /
     // token_match_count(text, entity...) — entities are string literals
     // (they parameterize the generated code, like shingle_hash's k).

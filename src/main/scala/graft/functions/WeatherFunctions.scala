@@ -30,6 +30,15 @@ object WeatherFunctions {
     ColumnBridge.column(
       graft.expressions.JsToFixed(ColumnBridge.expression(c), d))
 
+  /** ECMAScript `Number::toString` — how a RAW (unformatted) number
+    * serializes when JS stringifies it, e.g. the reference's
+    * `'humidity': hum` form field (`:378`); shortest round-trip digits,
+    * `"42"` not `"42.0"`, JS exponent window. See
+    * [[graft.expressions.JsNumberString]]. */
+  def jsNumberStr(c: Column): Column =
+    ColumnBridge.column(
+      graft.expressions.JsNumberString(ColumnBridge.expression(c)))
+
   /** Wind-direction decode: 16-sector index (0=N, 1=NNE, ...) → degrees
     * string; sector 0 reports as "360" (WOW treats 0° as shifting winds) and
     * calm air (ws == 0) reports "000" (MetOffice_WOW_Connect.txt:282-290,

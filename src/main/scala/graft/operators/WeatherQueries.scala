@@ -217,33 +217,17 @@ object WeatherQueries {
              |      FROM events)
              |ORDER BY event_id""".stripMargin)),
 
-    // O20+O21: the actual WOW wire format — all 12 fields as strings with
-    // the reference's toFixed() semantics (:349-365,373-387): the seven
-    // toFixed fields go through the native JsToFixed expression
-    // (exact-binary half-away-from-zero, no thousands separators — the
-    // spec-faithful rule format_number/format_string both miss; corner
-    // table golden-pinned against a real JS engine in
-    // WeatherFunctionsSpec). String formatting stays out of the DuckDB
-    // oracle (SURVEY.md §7.3). humidity is posted raw in the reference
-    // (`'humidity': hum`, :378 — never toFixed'd); winddir arrives
-    // already formatted by windDirDeg (:288-307).
+    // O20+O21: the actual WOW wire format — all 12 fields as strings
+    // with the reference's number→string semantics, built from the RAW
+    // derivations (see [[wowWireFrom]]): seven toFixed fields via the
+    // native JsToFixed (exact-binary half-away-from-zero — the rule
+    // format_number/format_string both miss; corner table golden-pinned
+    // against a real JS engine in WeatherFunctionsSpec), humidity RAW
+    // through the implicit Number::toString (JsNumberString), winddir
+    // the pre-formatted windDirDeg string ("000" calm / "360" north).
+    // String formatting stays out of the DuckDB oracle (SURVEY.md §7.3).
     Q("wx_wow_record_wire",
-      (s, dir) => {
-        import graft.functions.WeatherFunctions.jsToFixed
-        val rec = wowRecord(s, dir)
-        rec.select(col("event_id"), col("siteid"), col("dateutc"),
-          jsToFixed(col("tempf"), 1).as("tempf"),
-          format_number(col("humidity"), 0).as("humidity"),
-          jsToFixed(col("windspeedmph"), 2).as("windspeedmph"),
-          jsToFixed(col("windgustmph"), 2).as("windgustmph"),
-          format_string("%.0f", col("winddir")).as("winddir"),
-          jsToFixed(col("dewptf"), 1).as("dewptf"),
-          jsToFixed(col("dailyrainin"), 3).as("dailyrainin"),
-          jsToFixed(col("rainin"), 3).as("rainin"),
-          jsToFixed(col("baromin"), 3).as("baromin"),
-          col("softwaretype"))
-          .orderBy("event_id")
-      },
+      (s, dir) => wowWireFrom(Tables.events(s, dir)).orderBy("event_id"),
       None),
 
     // O21 flagship: the full 12-field WOW observation record (D4), composing
@@ -302,12 +286,53 @@ object WeatherQueries {
         .as("baromin"),
       lit("graft-spark-0.1").as("softwaretype"))
 
-  /** Batch flagship over any (event_id, user_id, ts, value) frame. */
-  def wowRecordFrom(events: DataFrame): DataFrame =
-    wowProjection(withRainWindows(sensors(events))
+  /** Sensor channels + rain windows + the two rain deltas over any
+    * (event_id, user_id, ts, value) frame — the raw enrichment shared by
+    * the oracled flagship ([[wowRecordFrom]]) and the wire record
+    * ([[wowWireFrom]]). */
+  private def wowEnriched(events: DataFrame): DataFrame =
+    withRainWindows(sensors(events))
       .withColumn("dailyrain_mm", (col("counter") - col("day_start")).cast("double"))
       .withColumn("rain_mmh",
-        coalesce((col("counter") - col("prev_counter")) * lit(ObsFreq), lit(0.0)).cast("double")))
+        coalesce((col("counter") - col("prev_counter")) * lit(ObsFreq), lit(0.0)).cast("double"))
+
+  /** Batch flagship over any (event_id, user_id, ts, value) frame. */
+  def wowRecordFrom(events: DataFrame): DataFrame =
+    wowProjection(wowEnriched(events))
+
+  /** O19-O21: the ACTUAL wire strings, derived the way the reference
+    * does — raw channels → JS unit conversions → `toFixed` /
+    * `Number::toString` (`:349-365,373-387`) — NOT by re-formatting the
+    * r6-rounded oracle twin ([[wowProjection]]'s rounding exists only
+    * for the DuckDB hash contract, SURVEY.md §7.3; the reference never
+    * rounds before formatting, and r6-then-toFixed double-rounds when a
+    * value sits within 5e-7 of a tenths boundary). Field-by-field
+    * (`:373-387`): seven toFixed fields via [[jsToFixed]]; `humidity`
+    * posted RAW (`'humidity': hum`, `:378`) so it carries the implicit
+    * `Number::toString` of form encoding ([[jsNumberStr]]); `winddir`
+    * arrives pre-formatted by [[windDirDeg]] (`:288-307` — calm is the
+    * string "000", sector 0 is "360"). The select mirrors
+    * [[wowProjection]] deliberately: same channels, different
+    * formatting contract — the formulas themselves live once in
+    * [[graft.functions.WeatherFunctions]]. */
+  def wowWireFrom(events: DataFrame): DataFrame =
+    wowEnriched(events).select(
+      col("event_id"),
+      lit("graft-site-0001").as("siteid"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("dateutc"),
+      jsToFixed(cToF(col("t_c")), 1).as("tempf"),
+      jsNumberStr(col("rh_pct")).as("humidity"),
+      jsToFixed(msToMph(mastCorrected(col("ws_ms"), col("ws_ms"), lit(MastHeightM))), 2)
+        .as("windspeedmph"),
+      jsToFixed(msToMph(mastCorrected(col("wg_ms"), col("ws_ms"), lit(MastHeightM))), 2)
+        .as("windgustmph"),
+      windDirDeg(col("wd_idx"), col("ws_ms")).as("winddir"),
+      jsToFixed(cToF(dewPointC(col("t_c"), col("rh_pct"))), 1).as("dewptf"),
+      jsToFixed(mmToInch(col("dailyrain_mm")), 3).as("dailyrainin"),
+      jsToFixed(mmToInch(col("rain_mmh")), 3).as("rainin"),
+      jsToFixed(hpaToInHg(mslPressureHpa(col("baro_hpa"), col("t_c"),
+        lit(LatitudeDeg), lit(AltitudeM))), 3).as("baromin"),
+      lit("graft-spark-0.1").as("softwaretype"))
 
   /** The flagship pipeline; also SparkEntry.entry. */
   def wowRecord(s: SparkSession, dir: String): DataFrame =

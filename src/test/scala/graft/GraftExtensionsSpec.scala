@@ -92,6 +92,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("js_number_str is a SQL function with ECMAScript ToString semantics") {
+    val r = spark.sql(
+      "SELECT js_number_str(42.0D) AS a, js_number_str(1e21) AS b, " +
+        "js_number_str(0.1D) AS c").head()
+    assert(r.getString(0) === "42")    // CAST AS STRING would give "42.0"
+    assert(r.getString(1) === "1e+21") // JS exponent window, not Java's
+    assert(r.getString(2) === "0.1")   // shortest round-trip digits
+  }
+
   test("asof strategy is planner-registered (no Asof.join self-registration)") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge

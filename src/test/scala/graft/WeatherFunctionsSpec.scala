@@ -92,16 +92,49 @@ class WeatherFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(fx(Double.NaN, 2) === "NaN")
   }
 
+  test("jsNumberStr reproduces ECMAScript Number::toString (raw wire fields, ref :378)") {
+    def ns(x: Double): String =
+      spark.range(1).select(jsNumberStr(lit(x))).head().getString(0)
+    // golden values from a real JS engine (node 22, String(x)) —
+    // integral doubles drop the ".0" Java keeps:
+    assert(ns(42.0) === "42")            // Java Double.toString: "42.0"
+    assert(ns(100.0) === "100")
+    assert(ns(-42.5) === "-42.5")
+    // shortest round-trip digits, not the 17-digit expansion:
+    assert(ns(0.1) === "0.1")
+    assert(ns(1.0 / 3.0) === "0.3333333333333333")
+    // the JS exponent window is (1e-6, 1e21), not Java's (1e-3, 1e7):
+    assert(ns(1e7) === "10000000")       // Java: "1.0E7"
+    assert(ns(1.2345678901234568e20) === "123456789012345680000")
+    assert(ns(1e21) === "1e+21")
+    assert(ns(1.23e22) === "1.23e+22")
+    assert(ns(0.000001) === "0.000001")  // Java: "1.0E-6"
+    assert(ns(0.000001234) === "0.000001234")
+    assert(ns(1e-7) === "1e-7")
+    assert(ns(1.5e-7) === "1.5e-7")
+    assert(ns(java.lang.Double.MIN_VALUE) === "5e-324")
+    assert(ns(java.lang.Double.MAX_VALUE) === "1.7976931348623157e+308")
+    // zeros and non-finite: String(-0) is "0"
+    assert(ns(0.0) === "0")
+    assert(ns(-0.0) === "0")
+    assert(ns(Double.NaN) === "NaN")
+    assert(ns(Double.PositiveInfinity) === "Infinity")
+    assert(ns(Double.NegativeInfinity) === "-Infinity")
+  }
+
   test("wire record formats with the reference's toFixed decimal places (ref :349-365)") {
     val row = graft.SparkEntry.queries("wx_wow_record_wire")(spark, SF)
       .orderBy("event_id").limit(1).collect().head
     val byName = row.schema.fieldNames.zip(row.toSeq.map(String.valueOf)).toMap
-    // toFixed(1) temps, (0) humidity/winddir, (2) speeds, (3) rain/pressure
-    assert(byName("tempf").matches("""-?[\d,]+\.\d"""), byName("tempf"))
-    assert(byName("humidity").matches("""\d+"""), byName("humidity"))
-    assert(byName("windspeedmph").matches("""[\d,]+\.\d{2}"""), byName("windspeedmph"))
-    assert(byName("dailyrainin").matches("""[\d,]+\.\d{3}"""), byName("dailyrainin"))
-    assert(byName("baromin").matches("""[\d,]+\.\d{3}"""), byName("baromin"))
+    // toFixed(1) temps, (2) speeds, (3) rain/pressure — no thousands
+    // separators anywhere (toFixed never inserts them); humidity is the
+    // RAW number's ToString (shortest digits, so any decimal tail);
+    // winddir is the windDirDeg string ("000"/"360"/toFixed(0) degrees)
+    assert(byName("tempf").matches("""-?\d+\.\d"""), byName("tempf"))
+    assert(byName("humidity").matches("""\d+(\.\d+)?"""), byName("humidity"))
+    assert(byName("windspeedmph").matches("""\d+\.\d{2}"""), byName("windspeedmph"))
+    assert(byName("dailyrainin").matches("""\d+\.\d{3}"""), byName("dailyrainin"))
+    assert(byName("baromin").matches("""\d+\.\d{3}"""), byName("baromin"))
     assert(byName("winddir").matches("""\d+"""), byName("winddir"))
     assert(byName("dateutc").matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
   }
