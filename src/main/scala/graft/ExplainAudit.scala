@@ -40,6 +40,7 @@ object ExplainAudit {
     "emb_normalize",    // scan -> per-row codegen'd vector math, no shuffle
     "sim_knn_i8",       // quantize + broadcast + codegen'd integer cosine
     "docs_decontam",    // benchmark shingle set broadcast, no self-join
+    "docs_decontam_bloom", // bloom probe in scan, shuffled-hash exact join
     "dedup_incremental",// batch->corpus probe + WindowGroupLimit top-1
     "text_unigram_nll", // census fit + broadcast apply-back + decimal sum
     "emb_kmeans")       // final-assignment pass: scan vs centroid literals

@@ -379,6 +379,15 @@ object Dedup {
       .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("s"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
+    decontamAssemble(corpus, idCol, per, flagFrac)
+  }
+
+  /** Shared decontamination tail: re-attach every corpus document
+    * (shingle-less ones included) to its (n_shingles, n_hits) counts and
+    * derive the fraction + flag. `per` holds (idCol, n_shingles, n_hits)
+    * for documents with at least one shingle. */
+  private def decontamAssemble(corpus: DataFrame, idCol: String,
+                               per: DataFrame, flagFrac: Double): DataFrame =
     corpus.select(col(idCol))
       .join(per, Seq(idCol), "left")
       .select(col(idCol),
@@ -391,6 +400,67 @@ object Dedup {
         (col("n_shingles") > 0 &&
           col("n_hits").cast("double") / col("n_shingles") >= flagFrac)
           .cast("int"))
+
+  /** [[decontaminate]] for the regime where even the benchmark's DISTINCT
+    * shingle-hash set is past the broadcast threshold (a full eval-suite
+    * union at k=13 can reach tens of GB of 8-byte hashes): broadcast a
+    * Bloom filter over the benchmark hashes instead, and let the exact
+    * equi-join — now a SHUFFLE join by design — see only the corpus
+    * shingles the filter could not rule out. Identical output to
+    * [[decontaminate]]: the filter has no false negatives, and the exact
+    * join removes its false positives (DedupSpec pins frame equality).
+    *
+    * Scale shape: ONE corpus scan. Per document it aggregates the full
+    * shingle count and the bloom-positive survivors together, so the
+    * first shuffle carries one row per document holding only survivors —
+    * ≈ fpp·|corpus shingles| + true hits — instead of every corpus
+    * shingle; the eagerly materialized per-doc frame (one bounded row
+    * per document — iterative-plan hygiene, like the other eager sites
+    * here) then feeds both the exact join and the final count without a
+    * second corpus scan. (Exchange reuse can NOT serve the two consumers
+    * from one shuffle: column pruning specializes each branch's
+    * aggregate — one keeps only the candidate list, the other only the
+    * count — so the exchanges stop being identical and each would
+    * re-scan the corpus.) The benchmark side is scanned twice (filter
+    * build + join side), which it amortizes by being the small side.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, k: Int = 3, flagFrac: Double = 0.5,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bench = shingleHashes(benchmark, idCol, textCol, k)
+      .select(col("s")).distinct().localCheckpoint(true)
+    val bloomBytes = {
+      val bf = bench.stat.bloomFilter("s", math.max(bench.count(), 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightHit = ColumnBridge.column(graft.expressions.BloomMightContainLong(
+      ColumnBridge.expression(col("s")), bloomBytes))
+    // collect_list drops nulls, so `cand` is exactly the bloom-positive
+    // shingles of the doc; n_shingles still counts all of them. The
+    // bloom probe runs inside whole-stage codegen in this (eager) scan
+    // job — the registered plan therefore starts at the checkpointed
+    // per-doc frame (same as the repo's other eager sites).
+    val perDoc = shingleHashes(corpus, idCol, textCol, k)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        collect_list(when(mightHit, col("s"))).as("cand"))
+      .localCheckpoint(true)
+    // shuffle_hash hint: in this function's regime the benchmark is past
+    // the broadcast threshold by premise, so pin the plan the function is
+    // FOR (hash-relation build on the bench side, no sort) even on small
+    // test corpora where AQE would broadcast it.
+    val hits = perDoc.filter(size(col("cand")) > 0)
+      .select(col(idCol), explode(col("cand")).as("s"))
+      .join(bench.hint("shuffle_hash"), Seq("s"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    val per = perDoc.select(col(idCol), col("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    decontamAssemble(corpus, idCol, per, flagFrac)
   }
 
   /** Incremental near-dup: flag documents in a NEW batch that are n-gram

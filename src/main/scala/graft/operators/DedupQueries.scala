@@ -67,6 +67,37 @@ object DedupQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** Oracle shared by docs_decontam and docs_decontam_bloom — the two
+    * registered spellings are result-identical by construction (the bloom
+    * pass only PRUNES the exact join's probe side; false positives are
+    * removed by the join, and a bloom has no false negatives). */
+  private val decontamSql =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+      |  FROM w WHERE len(words) >= 3),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+      |per AS (
+      |  SELECT s.doc_id, count(*) AS n_shingles, count(b.shingle) AS n_hits
+      |  FROM sh s LEFT JOIN bench b USING (shingle)
+      |  WHERE s.doc_id % 23 <> 0
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(n_shingles, 0) AS n_shingles,
+      |  coalesce(n_hits, 0) AS n_hits,
+      |  round(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0
+      |             ELSE CAST(n_hits AS DOUBLE) / n_shingles END * 1e6) / 1e6
+      |    AS contam_frac,
+      |  CAST(CASE WHEN coalesce(n_shingles, 0) > 0
+      |             AND CAST(n_hits AS DOUBLE) / n_shingles >= 0.5
+      |        THEN 1 ELSE 0 END AS INT) AS contaminated
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |WHERE d.doc_id % 23 <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Exact dedup with a deterministic keeper (earliest row per key) — the
     // reproducible spelling of dropDuplicates(keys).
@@ -223,31 +254,26 @@ object DedupQueries {
             r6(col("contam_frac")).as("contam_frac"), col("contaminated"))
           .orderBy("doc_id")
       },
-      Some("""WITH w AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
-             |  FROM documents),
-             |sh AS (
-             |  SELECT doc_id, unnest(list_distinct(list_transform(
-             |    range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')))) AS shingle
-             |  FROM w WHERE len(words) >= 3),
-             |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
-             |per AS (
-             |  SELECT s.doc_id, count(*) AS n_shingles, count(b.shingle) AS n_hits
-             |  FROM sh s LEFT JOIN bench b USING (shingle)
-             |  WHERE s.doc_id % 23 <> 0
-             |  GROUP BY 1)
-             |SELECT d.doc_id,
-             |  coalesce(n_shingles, 0) AS n_shingles,
-             |  coalesce(n_hits, 0) AS n_hits,
-             |  round(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0
-             |             ELSE CAST(n_hits AS DOUBLE) / n_shingles END * 1e6) / 1e6
-             |    AS contam_frac,
-             |  CAST(CASE WHEN coalesce(n_shingles, 0) > 0
-             |             AND CAST(n_hits AS DOUBLE) / n_shingles >= 0.5
-             |        THEN 1 ELSE 0 END AS INT) AS contaminated
-             |FROM documents d LEFT JOIN per USING (doc_id)
-             |WHERE d.doc_id % 23 <> 0
-             |ORDER BY d.doc_id""".stripMargin)),
+      Some(decontamSql)),
+
+    // The same decontamination for the regime where even the benchmark's
+    // DISTINCT shingle-hash set is past the broadcast threshold: a Bloom
+    // filter over the benchmark hashes broadcasts instead (native
+    // BloomMightContainLong probe in the corpus scan), and the exact
+    // shuffle equi-join sees only the bloom-positive shingles. Output is
+    // bit-identical to docs_decontam (no false negatives; the exact join
+    // removes false positives), so both share one DuckDB oracle.
+    Q("docs_decontam_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.decontaminateBloom(
+            docs.filter(col("doc_id") % 23 =!= 0),
+            docs.filter(col("doc_id") % 23 === 0), "doc_id", "text")
+          .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+            r6(col("contam_frac")).as("contam_frac"), col("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(decontamSql)),
 
     // Incremental dedup: every 10th doc arrives as a "new batch" and is
     // checked for near-dups against the remaining 90% "corpus" — the

@@ -133,6 +133,50 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("decontaminateBloom equals decontaminate on random corpora (frame equality)") {
+    // The bloom path's contract is bit-identical output: the filter has
+    // no false negatives and the exact join removes its false positives.
+    // Random seeded corpora with planted verbatim/partial overlap; fpp
+    // cranked to 0.5 in one trial so false positives DO occur and must
+    // be cleaned up by the join.
+    val rng = new scala.util.Random(20260815L)
+    for ((fpp, trial) <- Seq(0.01 -> 1, 0.5 -> 2, 0.03 -> 3)) {
+      val vocab = (1 to 30).map(i => s"w$i")
+      val docs = (1L to 80L).map { id =>
+        val len = rng.nextInt(22) // includes < 3 words: shingle-less docs
+        id -> Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      }.toDF("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+      val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      val bloom = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+          fpp = fpp)
+        .orderBy("doc_id").collect().toSeq
+      assert(bloom === exact, s"trial $trial (fpp=$fpp)")
+    }
+  }
+
+  test("BloomMightContainLong: no false negatives; probe runs inside codegen") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val keys = (1L to 5000L).map(i => i * 2654435761L)
+    val kdf = keys.toDF("s")
+    val bf = kdf.stat.bloomFilter("s", keys.size.toLong, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val probe = ColumnBridge.column(graft.expressions.BloomMightContainLong(
+      ColumnBridge.expression(col("s")), bytes))
+    // every inserted key answers true (no false negatives)
+    assert(kdf.filter(!probe).count() === 0L)
+    // disjoint probe keys: false-positive rate is near fpp, not near 1 —
+    // i.e. the filter actually prunes (generous bound: < 10%)
+    val missDf = (1L to 5000L).map(i => i * 2654435761L + 1L).toDF("s")
+    val fpCount = missDf.filter(probe).count()
+    assert(fpCount < 500L, s"false-positive count $fpCount of 5000")
+  }
+
   test("decontaminate: verbatim benchmark copy flagged, overlap counted, short docs 0") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -107,6 +107,12 @@ SHAPE_NOTES = {
         "per-row codegen'd scalar math over the full lineitem width; at "
         "scale the wall is the oracle contract's total-order output sort "
         "(n log n over wide rows), not the operators"),
+    "docs_decontam_bloom": (
+        "decontam for the benchmark-too-big-to-broadcast regime: one "
+        "corpus scan aggregates per-doc shingle counts + bloom-positive "
+        "survivors; only survivors (~fpp x corpus shingles + true hits) "
+        "enter the shuffled exact join that removes the false positives; "
+        "output bit-identical to docs_decontam (shared oracle)"),
     "sim_knn_ivf_i8": (
         "IVF build (sampled fit + cell-partitioned write, paid once "
         "offline and amortized) + partition-pruned int8 probe; serving "
