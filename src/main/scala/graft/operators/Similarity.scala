@@ -337,23 +337,20 @@ object Similarity {
       .digest(plan.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** [[ivfBuild]] unless a VALID index for exactly this corpus is already
-    * present — the registered query's spelling of "fit offline once,
-    * probe every serving batch". Validity = the stored manifest matches
-    * the corpus's (rows, fingerprint) and the requested nlist; anything
-    * else (no manifest, a pre-manifest artifact, a stale fingerprint
-    * algorithm, a mutated or replaced corpus under the same tag)
-    * triggers a rebuild rather than silently serving a stale index. The
-    * check costs one 2-column corpus scan — cheap next to a probe,
-    * trivially so next to the fit it guards — and is MEMOIZED per
-    * (indexDir, corpus frame) within the session, so repeat serves of
-    * the same corpus skip even that; a deployment that versions corpus
-    * snapshot paths can skip it entirely by calling [[ivfBuild]] exactly
-    * once per snapshot. */
-  def ivfBuildIfAbsent(corpus: DataFrame, indexDir: String, nlist: Int): Unit = {
+  /** True iff a stored index under `indexDir` is complete and its manifest
+    * matches exactly this corpus at this nlist — the trust check behind
+    * [[ivfBuildIfAbsent]], public so callers composing their own build
+    * policy (e.g. build-then-[[ivfAppend]] ingest pipelines) can test
+    * validity without committing to a fit. Validity = both cell artifacts
+    * have committed (`_SUCCESS`), the manifest's fingerprint algorithm is
+    * current, and the corpus's (rows, fingerprint) equal the manifest's.
+    * Costs one 2-column corpus scan on a miss, MEMOIZED per (indexDir,
+    * corpus frame) in the session (see [[validated]]); a repeat check of
+    * the same frame is free. */
+  def ivfValid(corpus: DataFrame, indexDir: String, nlist: Int): Boolean = {
     val c = corpus.toDF("id", "emb")
     val key = corpusKey(c)
-    if (validated.get(indexDir) == (key, nlist)) return
+    if (validated.get(indexDir) == (key, nlist)) return true
     val complete = Seq("cells.parquet", "cells_i8.parquet")
       .forall(a => new java.io.File(s"$indexDir/$a/_SUCCESS").exists())
     val valid = complete && readManifest(indexDir).exists { m =>
@@ -362,8 +359,86 @@ object Similarity {
         m.rows == n && m.fingerprint == fp
       }
     }
-    if (!valid) ivfBuild(corpus, indexDir, nlist)
-    else validated.put(indexDir, (key, nlist))
+    if (valid) validated.put(indexDir, (key, nlist))
+    valid
+  }
+
+  /** [[ivfBuild]] unless a VALID index for exactly this corpus is already
+    * present ([[ivfValid]]) — the registered query's spelling of "fit
+    * offline once, probe every serving batch". Anything invalid (no
+    * manifest, a pre-manifest artifact, a stale fingerprint algorithm, a
+    * mutated or replaced corpus under the same tag) triggers a rebuild
+    * rather than silently serving a stale index; a deployment that
+    * versions corpus snapshot paths can skip the check entirely by
+    * calling [[ivfBuild]] exactly once per snapshot. */
+  def ivfBuildIfAbsent(corpus: DataFrame, indexDir: String, nlist: Int): Unit =
+    if (!ivfValid(corpus, indexDir, nlist)) ivfBuild(corpus, indexDir, nlist)
+
+  /** INCREMENTAL index maintenance: assign a batch of NEW vectors with the
+    * STORED codebook and append them to both cell artifacts — no refit, no
+    * rewrite of the already-indexed corpus. This is the growing-corpus
+    * serving regime: at 100 TB a coarse-quantizer refit plus a full
+    * re-partitioned corpus rewrite per ingest batch is prohibitive (the
+    * measured 2×10⁷ build is 290.6 s, RECALL.md, and the rewrite is
+    * corpus-sized IO), while an append pays only the batch's one
+    * assignment pass (the same native [[graft.expressions.ArgMinDistSq]]
+    * codegen the build uses) plus the batch's own bytes. Centroids drift
+    * from the union's true k-means as batches accumulate — recall
+    * degrades gracefully (cells get less tight, never wrong: the cell is
+    * a blocking key) — and the deployment contract is a periodic
+    * re-[[ivfBuild]] at snapshot boundaries, the standard IVF reindex
+    * cadence.
+    *
+    * The manifest update is ADDITIVE BY CONSTRUCTION: [[corpusStats]]'
+    * fingerprint is a wraparound SUM of per-row hashes, so
+    * fp(corpus ∪ batch) = fp(corpus) + fp(batch) (mod 2⁶⁴) — the updated
+    * manifest is EXACTLY what [[ivfBuild]] over the union would stamp,
+    * and [[ivfValid]] of the union frame accepts the appended index with
+    * no rebuild (SimilaritySpec pins both). Multiplicity-sensitivity
+    * means re-appending the same batch yields a manifest no single-copy
+    * corpus matches — a double ingest fails closed into a rebuild, never
+    * serves silently.
+    *
+    * Each append lands ≤1 file per cell per artifact (the batch is
+    * hashed into nlist cell partitions first — the [[ivfBuild]] layout
+    * rule); files-per-cell grows by one per batch and compacts at the
+    * periodic rebuild. */
+  def ivfAppend(batch: DataFrame, indexDir: String): Unit = {
+    val b = batch.toDF("id", "emb")
+    val m = readManifest(indexDir).getOrElse(sys.error(
+      s"ivfAppend: no readable manifest under $indexDir — build first"))
+    require(m.fpv == FingerprintVersion,
+      s"ivfAppend: manifest fingerprint algorithm v${m.fpv} != current " +
+        s"v$FingerprintVersion — rebuild the index")
+    val (bn, bfp, bdim) = corpusStats(b)
+    if (bn == 0) return
+    require(bdim == m.dim,
+      s"ivfAppend: batch vector width $bdim != index dim ${m.dim}")
+    val s = b.sparkSession
+    val ctrRows = s.read.parquet(s"$indexDir/codebook.parquet")
+      .select("cell", "ctr").orderBy("cell").collect()
+    require(ctrRows.length == m.nlist,
+      s"ivfAppend: codebook has ${ctrRows.length} cells, manifest says ${m.nlist}")
+    val ctrs: Array[Array[Double]] = ctrRows.map(_.getSeq[Double](1).toArray)
+    val cells = b.select(col("id"), col("emb"),
+      argMinDistSq(col("emb"), ctrs).getField("j").as("cell"))
+    val persisted = cells.repartition(m.nlist, col("cell"))
+      .localCheckpoint(true) // one assignment pass feeds both appends
+    persisted.write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/cells.parquet")
+    persisted
+      .withColumn("scale", Embeddings.i8Scale(col("emb")))
+      .withColumn("qcode",
+        quantize(col("emb"), col("scale")).cast("array<tinyint>"))
+      .select("id", "qcode", "scale", "cell")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/cells_i8.parquet")
+    writeManifest(indexDir,
+      m.copy(rows = m.rows + bn, fingerprint = m.fingerprint + bfp))
+    // the stored index no longer corresponds to any frame validated
+    // before this append
+    validated.remove(indexDir)
+    ()
   }
 
   /** ONLINE probe against a stored index: read + broadcast the codebook,

@@ -103,6 +103,34 @@ object SimilarityQueries {
       },
       None),
 
+    // Incremental maintenance of the stored index: the corpus arrives in
+    // two installments — build on the first, ivfAppend the second
+    // (stored-codebook assignment, additive manifest update) — then probe
+    // the appended index. ivfValid(full corpus) gates the build+append
+    // pair: the appended manifest equals what a from-scratch union build
+    // would stamp (fingerprint additivity), so session re-runs — and any
+    // caller holding the union corpus — go probe-only, same contract as
+    // sim_knn_ivf. Queries are every 50th vector, ALL of which land in
+    // the appended batch (50 ≡ 0 mod 10), so the probe proves appended
+    // rows are first-class: they are found and they find. Sketch family →
+    // rows-only check; assignment ≡ stored-codebook argmin, manifest
+    // additivity, and appended-row recall are pinned in SimilaritySpec.
+    Q("sim_knn_ivf_append",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val base = e.filter(col("vec_id") % 10 =!= 0)
+        val batch = e.filter(col("vec_id") % 10 === 0)
+        val idx = Similarity.ivfIndexDir(s, dir + "#append")
+        if (!Similarity.ivfValid(e, idx, nlist = 16)) {
+          Similarity.ivfBuild(base, idx, nlist = 16)
+          Similarity.ivfAppend(batch, idx)
+        }
+        Similarity.ivfProbe(s, idx, e.filter(col("vec_id") % 50 === 0), K, nprobe = 2)
+          .select(col("q_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Approximate top-k via multi-table hyperplane LSH (8 tables × 8 bits).
     Q("sim_knn_lsh",
       (s, dir) => {

@@ -226,6 +226,73 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       "stale index served dropped rows")
   }
 
+  test("ivfAppend assigns with the stored codebook; appended rows serve from both tiers") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_app_").toFile.getAbsolutePath
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    Similarity.ivfBuild(base, idx, nlist = 16)
+    Similarity.ivfAppend(batch, idx)
+    // every stored row's partition cell — base and appended alike — must
+    // equal the argmin under the STORED codebook: the append assigned
+    // exactly as a build reusing this codebook would
+    val ctrs = spark.read.parquet(s"$idx/codebook.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val stored = spark.read.parquet(s"$idx/cells.parquet")
+    val wrong = stored.withColumn("want",
+        graft.functions.VectorFunctions.argMinDistSq(col("emb"), ctrs).getField("j"))
+      .filter(col("cell") =!= col("want")).count()
+    assert(wrong === 0L)
+    assert(stored.count() === emb.count())
+    assert(spark.read.parquet(s"$idx/cells_i8.parquet").count() === emb.count())
+    // near-duplicates appended LATER must be reachable through the pruned
+    // probe of BOTH serving tiers (the appended files join the DPP scan)
+    val baseRows = emb.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = baseRows.map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.01f; (id + 10000L, w.toSeq)
+    }
+    Similarity.ivfAppend(planted.toSeq.toDF("vec_id", "embedding"), idx)
+    def hits(df: org.apache.spark.sql.DataFrame): Int = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      baseRows.count { case (id, _) => got.get(id + 10000L).contains(id) }
+    }
+    assert(hits(Similarity.ivfProbe(spark, idx,
+      planted.toSeq.toDF("vec_id", "embedding"), 1, nprobe = 2)) === baseRows.length)
+    assert(hits(Similarity.ivfProbeI8(spark, idx,
+      planted.toSeq.toDF("vec_id", "embedding"), 1, nprobe = 2)) === baseRows.length)
+  }
+
+  test("ivfAppend manifest additivity: the appended index validates for the union, fails closed otherwise") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_app2_").toFile.getAbsolutePath
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    Similarity.ivfBuild(base, idx, nlist = 16)
+    Similarity.ivfAppend(batch, idx)
+    // an empty append is a no-op on the manifest
+    val mAfter = Similarity.readManifest(idx).get
+    Similarity.ivfAppend(batch.filter(lit(false)), idx)
+    assert(Similarity.readManifest(idx).get === mAfter)
+    // the appended manifest carries EXACTLY the (rows, fingerprint, dim) a
+    // from-scratch build over the union stamps: rows add, and the
+    // wraparound-SUM fingerprint is additive over the disjoint union
+    val idx2 = java.nio.file.Files.createTempDirectory("ivf_app3_").toFile.getAbsolutePath
+    Similarity.ivfBuild(emb, idx2, nlist = 16)
+    val mu = Similarity.readManifest(idx2).get
+    assert((mAfter.rows, mAfter.fingerprint, mAfter.dim) ===
+      (mu.rows, mu.fingerprint, mu.dim))
+    // so the union frame validates against the appended index (build-once
+    // + append-per-batch, probe-only thereafter)...
+    assert(Similarity.ivfValid(emb, idx, nlist = 16))
+    // ...while the pre-append corpus no longer matches (fails closed)
+    assert(!Similarity.ivfValid(base, idx, nlist = 16))
+    // and ivfBuildIfAbsent over the union leaves the artifacts untouched
+    val files = new java.io.File(s"$idx/codebook.parquet").listFiles()
+      .map(f => (f.getName, f.lastModified())).toSet
+    Similarity.ivfBuildIfAbsent(emb, idx, nlist = 16)
+    assert(new java.io.File(s"$idx/codebook.parquet").listFiles()
+      .map(f => (f.getName, f.lastModified())).toSet === files)
+  }
+
   test("LSH recall vs brute force is meaningful on the real corpus") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val brute = Similarity.knn(emb, queries, 5).collect()

@@ -20,7 +20,7 @@ EXPECTED_SUPERLINEAR = {
     # fixed-query-set scaling story is covered by the KnnScaleBench
     # serving table in RECALL.md (fixed 40-query batch, stored index).
     "sim_knn", "sim_knn_topk", "sim_knn_ivf", "sim_knn_ivf_i8",
-    "sim_knn_lsh", "sim_knn_i8",
+    "sim_knn_ivf_append", "sim_knn_lsh", "sim_knn_i8",
     # NOTE: dedup_embed is deliberately NOT here anymore — the banded
     # sign-LSH blocking key (round 6) made it ~linear per decade; if it
     # flags superlinear again that is a real regression.
@@ -113,6 +113,13 @@ SHAPE_NOTES = {
         "survivors; only survivors (~fpp x corpus shingles + true hits) "
         "enter the shuffled exact join that removes the false positives; "
         "output bit-identical to docs_decontam (shared oracle)"),
+    "sim_knn_ivf_append": (
+        "IVF build on 90% of the corpus + ivfAppend of the rest (stored-"
+        "codebook native-argmin assignment, additive manifest update) + "
+        "partition-pruned probe; same amortized-offline shape as "
+        "sim_knn_ivf — the bench row pays build+append once per run and "
+        "scales the query set with the corpus, so it carries the "
+        "quadratic workload term"),
     "sim_knn_ivf_i8": (
         "IVF build (sampled fit + cell-partitioned write, paid once "
         "offline and amortized) + partition-pruned int8 probe; serving "
