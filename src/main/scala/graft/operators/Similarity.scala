@@ -402,7 +402,15 @@ object Similarity {
     * Each append lands ≤1 file per cell per artifact (the batch is
     * hashed into nlist cell partitions first — the [[ivfBuild]] layout
     * rule); files-per-cell grows by one per batch and compacts at the
-    * periodic rebuild. */
+    * periodic rebuild.
+    *
+    * SINGLE-WRITER contract, like every other mutation of `indexDir`:
+    * the manifest read-modify-write is not atomic, so concurrent appends
+    * (or an append racing a rebuild) can lose one batch's manifest
+    * delta — after which [[ivfValid]] of the true union FAILS CLOSED
+    * into a rebuild rather than serving silently. Ingest pipelines
+    * serialize appends per index, the same way they serialize the
+    * builds. */
   def ivfAppend(batch: DataFrame, indexDir: String): Unit = {
     val b = batch.toDF("id", "emb")
     val m = readManifest(indexDir).getOrElse(sys.error(
