@@ -146,14 +146,30 @@ object Bench {
       ok.collect { case (n, v) if SparkEntry.streamingQueries(n) => v }.sum)
     val streamingN = ok.count(x => SparkEntry.streamingQueries(x._1))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"streaming_sec":$streamingSec,"streaming_n":$streamingN,"sf":"$sfDir"}""")
+    // Like-for-like subtotal: the registry GROWS every round, so the grand
+    // total alone can't distinguish "new query cost" from regression.
+    // REGISTRY_PREV.txt (committed, one name per line = the previous
+    // round's registry) scopes a second total to exactly the queries that
+    // existed last round — compare THIS field round-over-round.
+    val prevRegistryJson = {
+      val f = java.nio.file.Paths.get("REGISTRY_PREV.txt")
+      if (!java.nio.file.Files.exists(f)) ""
+      else {
+        val prev = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(f)).asScala
+          .map(_.trim).filter(_.nonEmpty).toSet
+        val sub = ok.filter(x => prev(x._1))
+        s""","total_prev_registry":${num("%.3f", sub.map(_._2).sum)},"n_prev_registry":${sub.length}"""
+      }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"streaming_sec":$streamingSec,"streaming_n":$streamingN$prevRegistryJson,"sf":"$sfDir"}""")
     // Full-precision, uncapped dump for offline analysis (scaling curves):
     // SPARK_GRAFT_BENCH_OUT=path writes every query's timing to a file,
     // where the stdout line above stays within the driver's tail budget.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       val full = results.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
         .mkString("{", ",", "}")
-      val json = s"""{"total":$total,"queries":$full,"failed":$failedJson,"streaming_sec":$streamingSec,"streaming_n":$streamingN,"sf":"$sfDir","cpus":$cpus}"""
+      val json = s"""{"total":$total,"queries":$full,"failed":$failedJson,"streaming_sec":$streamingSec,"streaming_n":$streamingN$prevRegistryJson,"sf":"$sfDir","cpus":$cpus}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         json.getBytes("UTF-8"))
     }

@@ -89,9 +89,13 @@ case class ArgMinDistSq(child: Expression, centroids: Array[Array[Double]])
     case _ => false
   }
 
-  override def hashCode(): Int =
-    31 * child.hashCode() +
-      java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+  /** The matrix hash is O(k·dim) and Catalyst calls expression hashCode
+    * repeatedly during analysis/canonicalization — computed once (the
+    * matrix is construction-immutable by contract). */
+  @transient private lazy val centroidsHash: Int =
+    java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+
+  override def hashCode(): Int = 31 * child.hashCode() + centroidsHash
 }
 
 /** Static helper called from generated code. */

@@ -63,6 +63,15 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
     case _ => false
   }
 
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+  /** The filter-bytes hash is O(filter size) — potentially hundreds of MB
+    * per the sizing note above — and Catalyst calls expression hashCode
+    * repeatedly during analysis/canonicalization, so it is computed ONCE.
+    * Safe to cache: `bloomBytes` is construction-immutable by contract
+    * (nothing mutates it after the ctor), like the matrices in
+    * [[ArgMinDistSq]]/[[LshBuckets]]. `child` stays out of the cache —
+    * `withNewChildInternal` copies give it a fresh node. */
+  @transient private lazy val bloomBytesHash: Int =
+    java.util.Arrays.hashCode(bloomBytes)
+
+  override def hashCode(): Int = 31 * child.hashCode() + bloomBytesHash
 }

@@ -33,10 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * itself formats unsigned (`"0.00…"`) because IEEE `-0.0 < 0` is false,
   * again matching the spec's test.
   *
-  * Scope: |x| < 10²¹ (above that the JS spec switches to Number::
-  * toString exponent form; every wire field is bounded orders of
-  * magnitude below). Non-finite inputs return "NaN"/"Infinity"/
-  * "-Infinity" like JS.
+  * For |x| ≥ 10²¹ the JS spec (step 10 vs 11) makes toFixed RETURN
+  * Number::toString — exponent form — instead of positional digits, so
+  * the formatter delegates to [[JsNumberStringUtil.jsToString]] there
+  * (every wire field is bounded orders of magnitude below that, but the
+  * function is registered session-wide as `js_to_fixed`, so it stays
+  * spec-faithful for ALL finite doubles). Non-finite inputs return
+  * "NaN"/"Infinity"/"-Infinity" like JS.
   */
 case class JsToFixed(child: Expression, digits: Int) extends UnaryExpression {
   require(digits >= 0 && digits <= 100, "js_to_fixed: digits must be in [0, 100]")
@@ -66,6 +69,8 @@ object JsToFixedUtil {
   def format(x: Double, d: Int): UTF8String = UTF8String.fromString {
     if (java.lang.Double.isNaN(x)) "NaN"
     else if (java.lang.Double.isInfinite(x)) { if (x > 0) "Infinity" else "-Infinity" }
+    // spec step 10: |x| >= 10^21 falls back to ToString(x) exponent form
+    else if (math.abs(x) >= 1e21) JsNumberStringUtil.jsToString(x)
     else {
       // spec order: strip the sign FIRST (x < 0 is false for -0.0), round
       // the magnitude, re-prepend — so "-0.0" survives where BigDecimal's

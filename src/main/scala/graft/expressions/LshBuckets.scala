@@ -82,9 +82,14 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]], bits: Int
     case _ => false
   }
 
+  /** The matrix hash is O(tables·bits·dim) and Catalyst calls expression
+    * hashCode repeatedly during analysis/canonicalization — computed once
+    * (the matrix is construction-immutable by contract). */
+  @transient private lazy val planesHash: Int =
+    java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+
   override def hashCode(): Int =
-    31 * (31 * child.hashCode() + bits) +
-      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+    31 * (31 * child.hashCode() + bits) + planesHash
 }
 
 /** Static helper called from generated code. */

@@ -410,6 +410,17 @@ object Dedup {
     * [[decontaminate]]: the filter has no false negatives, and the exact
     * join removes its false positives (DedupSpec pins frame equality).
     *
+    * PER-DOCUMENT ROW BOUND: the aggregation below collects one document's
+    * bloom-POSITIVE shingles into a single row, so a heavily contaminated
+    * document's row holds ~its whole shingle footprint regardless of fpp
+    * (clean documents stay at ~fpp·shingles). With documents bounded at
+    * typical corpus-policy sizes (~1 M tokens → ~8 MB of hashes) that is
+    * a fat-but-fine aggregation row; a pipeline ingesting UNBOUNDED
+    * documents should either pre-split them (mm_chunks-style) or trade
+    * the one-scan shape for a second corpus scan filtering exploded
+    * shingles on the bloom probe directly — the exact path in
+    * [[decontaminate]] has no such row, only more shuffle volume.
+    *
     * Scale shape: ONE corpus scan. Per document it aggregates the full
     * shingle count and the bloom-positive survivors together, so the
     * first shuffle carries one row per document holding only survivors —

@@ -90,6 +90,14 @@ class WeatherFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(fx(-0.0005, 2) === "-0.00")
     assert(fx(-0.5, 0) === "-1")      // away from zero through the sign split
     assert(fx(Double.NaN, 2) === "NaN")
+    // spec step 10: |x| >= 1e21 RETURNS ToString(x) — exponent form, the
+    // digits argument ignored (node: (1e21).toFixed(2) === "1e+21"):
+    assert(fx(1e21, 2) === "1e+21")
+    assert(fx(1.23e22, 3) === "1.23e+22")
+    assert(fx(-1e21, 1) === "-1e+21")
+    // just BELOW the boundary, positional digits still apply
+    // (node: (999999999999999900000).toFixed(1), exact binary value)
+    assert(fx(9.999999999999999e20, 1) === "999999999999999868928.0")
   }
 
   test("jsNumberStr reproduces ECMAScript Number::toString (raw wire fields, ref :378)") {

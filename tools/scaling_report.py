@@ -186,7 +186,10 @@ def main() -> None:
         if row.get("t_100x") is not None and row["t_100x"] > 10:
             if name in SHAPE_NOTES:
                 notes.append(SHAPE_NOTES[name])
-            elif not notes:
+            else:
+                # unconditional: a generic note ('~linear', the streaming
+                # note) is not a COST MODEL, so it must not suppress the
+                # mandatory flag for heavy rows
                 notes.append("HEAVY-UNANNOTATED: add a shape note to "
                              "SHAPE_NOTES in tools/scaling_report.py")
         row["note"] = "; ".join(notes)
