@@ -180,6 +180,18 @@ object Similarity {
       .select("q_id", "q_emb", "cell")
   }
 
+  /** The DISTINCT cells this serving batch probes, collected driver-side
+    * for a STATIC partition filter on the cell scans. Bounded by
+    * min(nlist, nprobe·|queries|) ints — at nlist = √n a few KB on any
+    * corpus, the same order as the codebook collects the fit already
+    * does. Static `cell IN (...)` pruning is UNCONDITIONAL on every scan
+    * branch (an appended index reads a UNION of per-batch roots, where
+    * runtime dynamic partition pruning does not reach — and even on a
+    * single root DPP is heuristic where this is guaranteed). Costs one
+    * tiny extra job over the queries×codebook frame per serving batch. */
+  private def probedCellSet(probed: DataFrame): Seq[Int] =
+    probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+
   /** Candidate generation + exact ranking over probed cells only: the
     * per-query work is |corpus|·nprobe/nlist instead of |corpus|. */
   private def ivfRank(cells: DataFrame, codebook: DataFrame,
@@ -187,6 +199,7 @@ object Similarity {
     val probed = probeCells(queries.toDF("q_id", "q_emb"), codebook, nprobe)
     rankTopK(
       cells.toDF("neighbor_id", "c_emb", "cell")
+        .filter(col("cell").isin(probedCellSet(probed): _*))
         .join(broadcast(probed), Seq("cell"))
         .filter(col("q_id") =!= col("neighbor_id"))
         .select(col("q_id"), col("neighbor_id"),
@@ -228,21 +241,50 @@ object Similarity {
     * change masquerading as corpus drift. */
   private[operators] val FingerprintVersion = 2
 
-  /** The stored-index manifest: what [[ivfBuild]] indexed. Validated by
+  /** The stored-index manifest: what [[ivfBuild]] indexed, plus every
+    * [[ivfAppend]] batch committed since. Validated by
     * [[ivfBuildIfAbsent]] before an existing index is trusted. `fpv` is
     * the fingerprint-algorithm version (absent in pre-versioning
-    * manifests → 1). */
+    * manifests → 1).
+    *
+    * `appendedRows`/`batches` are the STALENESS SIGNAL: the build stamps
+    * both empty, every commit adds the batch additively, and
+    * `appendedRows / rows` ([[ivfAppendedFraction]]) is the fraction of
+    * the index assigned under drifted centroids — the quantity a
+    * deployment alerts on to schedule the periodic re-[[ivfBuild]]
+    * (RECALL.md carries the measured recall-vs-appended-fraction curve
+    * that calibrates the threshold).
+    *
+    * The manifest is ALSO the reader's commit log: serving reads the base
+    * cell artifacts plus exactly the `batches` listed here, so data that
+    * reached the directory without its manifest update (a torn append)
+    * is invisible — see [[ivfAppend]]'s crash-recovery contract. */
   final case class IvfManifest(rows: Long, fingerprint: Long, nlist: Int,
-                               dim: Int, fpv: Int = 1)
+                               dim: Int, fpv: Int = 1,
+                               appendedRows: Long = 0L,
+                               batches: Seq[String] = Nil)
 
   private def manifestPath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "manifest.json")
 
+  /** ATOMIC manifest replace (write sibling tmp, rename over): the
+    * manifest is the index's commit point — a reader (or a crash) must
+    * see either the old complete manifest or the new one, never a torn
+    * write. POSIX/HDFS rename gives exactly that; an object-store
+    * deployment fronts the manifest with its store's conditional-put. */
   private def writeManifest(indexDir: String, m: IvfManifest): Unit = {
+    val batchesJson = m.batches.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"rows":${m.rows},"fingerprint":${m.fingerprint},""" +
-      s""""nlist":${m.nlist},"dim":${m.dim},"fpv":${m.fpv}}"""
-    java.nio.file.Files.createDirectories(manifestPath(indexDir).getParent)
-    java.nio.file.Files.write(manifestPath(indexDir), json.getBytes("UTF-8"))
+      s""""nlist":${m.nlist},"dim":${m.dim},"fpv":${m.fpv},""" +
+      s""""appended_rows":${m.appendedRows},"batches":$batchesJson}"""
+    val p = manifestPath(indexDir)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling("manifest.json.tmp")
+    java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   private[graft] def readManifest(indexDir: String): Option[IvfManifest] = {
@@ -251,11 +293,54 @@ object Similarity {
     else {
       val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       def f(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1))
+      val batches = """"batches":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
       for (r <- f("rows"); fp <- f("fingerprint"); nl <- f("nlist"); d <- f("dim"))
         yield IvfManifest(r.toLong, fp.toLong, nl.toInt, d.toInt,
-          f("fpv").map(_.toInt).getOrElse(1))
+          f("fpv").map(_.toInt).getOrElse(1),
+          f("appended_rows").map(_.toLong).getOrElse(0L), batches)
     }
   }
+
+  /** Fraction of the stored index that was [[ivfAppend]]ed after the last
+    * full [[ivfBuild]] — the reindex-cadence alert signal (None when no
+    * readable manifest). Deployments compare it against the RECALL.md
+    * drift curve's budget and re-build past their threshold. */
+  def ivfAppendedFraction(indexDir: String): Option[Double] =
+    readManifest(indexDir).map(m =>
+      if (m.rows == 0) 0.0 else m.appendedRows.toDouble / m.rows)
+
+  /** Every root holding cell data for artifact `a` ("cells.parquet" /
+    * "cells_i8.parquet"): the base build output plus each COMMITTED
+    * append batch. Readers go through this — a batch directory the
+    * manifest does not list (a torn append) is invisible. Each root is a
+    * complete `cell=`-partitioned parquet tree, so a multi-root read
+    * keeps partition discovery AND the probe's cell pruning per root. */
+  private def cellRoots(indexDir: String, a: String): Seq[String] = {
+    val batches = readManifest(indexDir).map(_.batches).getOrElse(Nil)
+    s"$indexDir/$a" +: batches.map(b => s"$indexDir/batches/$b/$a")
+  }
+
+  /** The stored float-cell data as ONE frame (base + committed batches) —
+    * what [[ivfProbe]] serves from; exposed for inspection/tests.
+    *
+    * Each root is read separately and UNIONed (Spark's partition
+    * inference rejects sibling partitioned roots in one read, and a
+    * common `basePath` would misread `batches/<id>` as partition dirs).
+    * A fresh index (no batches) stays a single plain scan. Cell pruning
+    * across the union comes from the probes' STATIC cell-set filter
+    * (see [[probedCellSet]]) — runtime DPP cannot reach scans under a
+    * Union, so the probes don't rely on it. */
+  private[graft] def ivfCells(s: SparkSession, indexDir: String): DataFrame =
+    cellRoots(indexDir, "cells.parquet")
+      .map(s.read.parquet(_)).reduce(_ unionByName _)
+
+  /** The stored int8-cell data as one frame (base + committed batches). */
+  private[graft] def ivfCellsI8(s: SparkSession, indexDir: String): DataFrame =
+    cellRoots(indexDir, "cells_i8.parquet")
+      .map(s.read.parquet(_)).reduce(_ unionByName _)
 
   /** OFFLINE index build: fit the coarse quantizer and persist the index
     * artifacts under `indexDir` —
@@ -309,8 +394,21 @@ object Similarity {
       .select("id", "qcode", "scale", "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells_i8.parquet")
-    writeManifest(indexDir, IvfManifest(n, fp, nlist, dim, FingerprintVersion))
+    // a rebuild supersedes every previously appended batch: clear the
+    // batch/staging trees BEFORE the manifest commit (a crash in between
+    // leaves a manifest listing deleted batches — completeness then fails
+    // closed into another rebuild, never serves the torn state)
+    rmTree(new java.io.File(s"$indexDir/batches"))
+    rmTree(new java.io.File(s"$indexDir/_staging"))
+    writeManifest(indexDir,
+      IvfManifest(n, fp, nlist, dim, FingerprintVersion))
     validated.put(indexDir, (corpusKey(c), nlist))
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+    ()
   }
 
   /** Session-scoped record of indexDirs whose manifest has already been
@@ -351,8 +449,12 @@ object Similarity {
     val c = corpus.toDF("id", "emb")
     val key = corpusKey(c)
     if (validated.get(indexDir) == (key, nlist)) return true
+    // completeness covers the base artifacts AND every manifest-listed
+    // batch (cellRoots = exactly what serving reads): a manifest that
+    // names a missing/uncommitted batch dir fails closed into a rebuild
     val complete = Seq("cells.parquet", "cells_i8.parquet")
-      .forall(a => new java.io.File(s"$indexDir/$a/_SUCCESS").exists())
+      .forall(a => cellRoots(indexDir, a)
+        .forall(r => new java.io.File(s"$r/_SUCCESS").exists()))
     val valid = complete && readManifest(indexDir).exists { m =>
       m.fpv == FingerprintVersion && m.nlist == nlist && {
         val (n, fp, _) = corpusStats(c)
@@ -401,17 +503,40 @@ object Similarity {
     *
     * Each append lands ≤1 file per cell per artifact (the batch is
     * hashed into nlist cell partitions first — the [[ivfBuild]] layout
-    * rule); files-per-cell grows by one per batch and compacts at the
-    * periodic rebuild.
+    * rule) in its OWN batch directory `batches/<id>/`; files-per-cell
+    * grows by one per batch and compacts at the periodic rebuild.
+    *
+    * CRASH RECOVERY — stage, then commit: the batch's cell files are
+    * written under `_staging/<id>/`, promoted to `batches/<id>/`, and
+    * only then does the ATOMIC manifest replace ([[writeManifest]])
+    * publish them — readers ([[cellRoots]]) see exactly the
+    * manifest-listed batches, so a crash ANYWHERE before the manifest
+    * write leaves the old index fully valid and serving ([[ivfValid]] of
+    * the pre-append corpus stays true; SimilaritySpec kills a simulated
+    * append at both seams and pins it). The batch id is DETERMINISTIC —
+    * seq number (batches committed so far) + the batch's own
+    * fingerprint — so a retry of a torn append overwrites its own
+    * leftovers and re-stages O(batch), never an O(corpus) rebuild.
     *
     * SINGLE-WRITER contract, like every other mutation of `indexDir`:
-    * the manifest read-modify-write is not atomic, so concurrent appends
-    * (or an append racing a rebuild) can lose one batch's manifest
-    * delta — after which [[ivfValid]] of the true union FAILS CLOSED
-    * into a rebuild rather than serving silently. Ingest pipelines
-    * serialize appends per index, the same way they serialize the
-    * builds. */
-  def ivfAppend(batch: DataFrame, indexDir: String): Unit = {
+    * the manifest read-modify-write is not atomic ACROSS WRITERS, so
+    * concurrent appends (or an append racing a rebuild) can lose one
+    * batch's manifest delta — after which [[ivfValid]] of the true union
+    * FAILS CLOSED into a rebuild rather than serving silently. Ingest
+    * pipelines serialize appends per index, the same way they serialize
+    * the builds. */
+  def ivfAppend(batch: DataFrame, indexDir: String): Unit =
+    ivfAppendStage(batch, indexDir).foreach { case (m, id, bn, bfp) =>
+      ivfAppendPromote(indexDir, id)
+      ivfAppendCommit(indexDir, m, id, bn, bfp)
+    }
+
+  /** Append phase 1 — STAGE: assign the batch with the stored codebook
+    * and write its cell files under `_staging/<batchId>/` (overwrite —
+    * retry-safe). Returns None for an empty batch (a no-op append).
+    * Package-private so the torn-append spec can crash between phases. */
+  private[graft] def ivfAppendStage(batch: DataFrame, indexDir: String)
+      : Option[(IvfManifest, String, Long, Long)] = {
     val b = batch.toDF("id", "emb")
     val m = readManifest(indexDir).getOrElse(sys.error(
       s"ivfAppend: no readable manifest under $indexDir — build first"))
@@ -419,7 +544,7 @@ object Similarity {
       s"ivfAppend: manifest fingerprint algorithm v${m.fpv} != current " +
         s"v$FingerprintVersion — rebuild the index")
     val (bn, bfp, bdim) = corpusStats(b)
-    if (bn == 0) return
+    if (bn == 0) return None
     require(bdim == m.dim,
       s"ivfAppend: batch vector width $bdim != index dim ${m.dim}")
     val s = b.sparkSession
@@ -428,21 +553,49 @@ object Similarity {
     require(ctrRows.length == m.nlist,
       s"ivfAppend: codebook has ${ctrRows.length} cells, manifest says ${m.nlist}")
     val ctrs: Array[Array[Double]] = ctrRows.map(_.getSeq[Double](1).toArray)
+    // deterministic id: a retry of this exact (index state, batch) pair
+    // re-derives the same id and overwrites its own torn leftovers
+    val batchId =
+      f"b${m.batches.size + 1}%04d_${java.lang.Long.toHexString(bfp)}"
+    val staging = s"$indexDir/_staging/$batchId"
     val cells = b.select(col("id"), col("emb"),
       argMinDistSq(col("emb"), ctrs).getField("j").as("cell"))
     val persisted = cells.repartition(m.nlist, col("cell"))
-      .localCheckpoint(true) // one assignment pass feeds both appends
-    persisted.write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/cells.parquet")
+      .localCheckpoint(true) // one assignment pass feeds both artifacts
+    persisted.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/cells.parquet")
     persisted
       .withColumn("scale", Embeddings.i8Scale(col("emb")))
       .withColumn("qcode",
         quantize(col("emb"), col("scale")).cast("array<tinyint>"))
       .select("id", "qcode", "scale", "cell")
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/cells_i8.parquet")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/cells_i8.parquet")
+    Some((m, batchId, bn, bfp))
+  }
+
+  /** Append phase 2 — PROMOTE: move the staged batch dir under
+    * `batches/`. Still invisible to readers (the manifest doesn't list
+    * it yet), so this move needs no atomicity; a leftover target from a
+    * previous torn attempt is deleted first (it was never committed —
+    * ids are seq-prefixed, so a COMMITTED dir can never collide). */
+  private[graft] def ivfAppendPromote(indexDir: String, batchId: String): Unit = {
+    val target = new java.io.File(s"$indexDir/batches/$batchId")
+    rmTree(target)
+    java.nio.file.Files.createDirectories(target.getParentFile.toPath)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$indexDir/_staging/$batchId"), target.toPath)
+    ()
+  }
+
+  /** Append phase 3 — COMMIT: the atomic manifest replace that publishes
+    * the batch (rows/fingerprint/appendedRows add; the batch id joins
+    * the read set). This single rename IS the append's commit point. */
+  private[graft] def ivfAppendCommit(indexDir: String, m: IvfManifest,
+                                     batchId: String, bn: Long, bfp: Long): Unit = {
     writeManifest(indexDir,
-      m.copy(rows = m.rows + bn, fingerprint = m.fingerprint + bfp))
+      m.copy(rows = m.rows + bn, fingerprint = m.fingerprint + bfp,
+        appendedRows = m.appendedRows + bn, batches = m.batches :+ batchId))
     // the stored index no longer corresponds to any frame validated
     // before this append
     validated.remove(indexDir)
@@ -456,7 +609,7 @@ object Similarity {
   def ivfProbe(s: SparkSession, indexDir: String, queries: DataFrame,
                k: Int, nprobe: Int): DataFrame = {
     val codebook = s.read.parquet(s"$indexDir/codebook.parquet")
-    val cells = s.read.parquet(s"$indexDir/cells.parquet")
+    val cells = ivfCells(s, indexDir)
       .select(col("id"), col("emb"), col("cell"))
     ivfRank(cells, codebook, queries, k, nprobe)
   }
@@ -484,13 +637,14 @@ object Similarity {
   def ivfProbeI8(s: SparkSession, indexDir: String, queries: DataFrame,
                  k: Int, nprobe: Int): DataFrame = {
     val codebook = s.read.parquet(s"$indexDir/codebook.parquet")
-    val codes = s.read.parquet(s"$indexDir/cells_i8.parquet")
+    val codes = ivfCellsI8(s, indexDir)
       .select(col("id").as("neighbor_id"), col("qcode").as("c_code"), col("cell"))
     val qd = queries.toDF("q_id", "q_emb")
       .select(col("q_id"), col("q_emb").cast("array<double>").as("q_emb"))
     val probed = probeCells(qd, codebook, nprobe)
     rankTopK(
-      codes.join(broadcast(probed), Seq("cell"))
+      codes.filter(col("cell").isin(probedCellSet(probed): _*))
+        .join(broadcast(probed), Seq("cell"))
         .filter(col("q_id") =!= col("neighbor_id"))
         .select(col("q_id"), col("neighbor_id"),
           cosine(col("q_emb"), col("c_code").cast("array<double>")).as("cos")),

@@ -237,13 +237,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // exactly as a build reusing this codebook would
     val ctrs = spark.read.parquet(s"$idx/codebook.parquet")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    val stored = spark.read.parquet(s"$idx/cells.parquet")
+    // read through the serving reader (base + committed batch dirs)
+    val stored = Similarity.ivfCells(spark, idx)
     val wrong = stored.withColumn("want",
         graft.functions.VectorFunctions.argMinDistSq(col("emb"), ctrs).getField("j"))
       .filter(col("cell") =!= col("want")).count()
     assert(wrong === 0L)
     assert(stored.count() === emb.count())
-    assert(spark.read.parquet(s"$idx/cells_i8.parquet").count() === emb.count())
+    assert(Similarity.ivfCellsI8(spark, idx).count() === emb.count())
     // near-duplicates appended LATER must be reachable through the pruned
     // probe of BOTH serving tiers (the appended files join the DPP scan)
     val baseRows = emb.filter(col("vec_id") < 5).collect()
@@ -291,6 +292,57 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     Similarity.ivfBuildIfAbsent(emb, idx, nlist = 16)
     assert(new java.io.File(s"$idx/codebook.parquet").listFiles()
       .map(f => (f.getName, f.lastModified())).toSet === files)
+    // the staleness signal survives the append path: appended_rows counts
+    // exactly the post-build ingested rows, and the fraction accessor
+    // reads it back; a fresh full build resets it to zero
+    assert(mAfter.appendedRows === batch.count())
+    assert(Similarity.ivfAppendedFraction(idx).get ===
+      batch.count().toDouble / emb.count())
+    assert(Similarity.readManifest(idx2).get.appendedRows === 0L)
+    assert(Similarity.ivfAppendedFraction(idx2).get === 0.0)
+  }
+
+  test("a torn ivfAppend is invisible to readers and a retry recovers at O(batch)") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_torn_").toFile.getAbsolutePath
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    Similarity.ivfBuild(base, idx, nlist = 16)
+    val m0 = Similarity.readManifest(idx).get
+    val served0 = Similarity.ivfCells(spark, idx).count()
+
+    // CRASH 1: between staging and promotion — the batch files exist
+    // under _staging/, nothing under batches/, manifest untouched
+    val Some((m, id, bn, bfp)) = Similarity.ivfAppendStage(batch, idx)
+    assert(Similarity.readManifest(idx).get === m0)
+    assert(Similarity.ivfValid(base, idx, nlist = 16),
+      "old index must stay valid through a torn append (crash after stage)")
+    assert(Similarity.ivfCells(spark, idx).count() === served0,
+      "staged-but-uncommitted rows must be invisible to the serving read")
+
+    // CRASH 2: between promotion and the manifest commit — batches/<id>
+    // exists on disk but the manifest (the read set) does not list it
+    Similarity.ivfAppendPromote(idx, id)
+    assert(new java.io.File(s"$idx/batches/$id/cells.parquet/_SUCCESS").exists())
+    assert(Similarity.readManifest(idx).get === m0)
+    // force a fresh validation scan (ivfValid memoizes per frame): a new
+    // frame of the same base data misses the cache
+    assert(Similarity.ivfValid(base.filter(lit(true)), idx, nlist = 16),
+      "old index must stay valid through a torn append (crash after promote)")
+    assert(Similarity.ivfCells(spark, idx).count() === served0,
+      "promoted-but-uncommitted rows must be invisible to the serving read")
+
+    // RETRY: the full append over the same batch re-derives the same id,
+    // overwrites its own leftovers, and commits — O(batch), no rebuild
+    Similarity.ivfAppend(batch, idx)
+    val m1 = Similarity.readManifest(idx).get
+    assert(m1.batches === Seq(id), "retry must reuse the deterministic id")
+    assert((m1.rows, m1.fingerprint) === (m.rows + bn, m.fingerprint + bfp))
+    assert(Similarity.ivfValid(emb, idx, nlist = 16))
+    assert(Similarity.ivfCells(spark, idx).count() === emb.count())
+    assert(Similarity.ivfCellsI8(spark, idx).count() === emb.count())
+    // exactly-once: no duplicate ids from the torn first attempt
+    assert(Similarity.ivfCells(spark, idx).groupBy("id")
+      .count().filter(col("count") > 1).count() === 0L)
   }
 
   test("LSH recall vs brute force is meaningful on the real corpus") {
