@@ -14,13 +14,33 @@ import org.apache.spark.sql.functions._
   * manifest), and a fixed 40-query probe of the appended index is
   * compared against the same probe of the rebuilt index (they may differ
   * only where the rebuild's refit centroids draw different cell
-  * boundaries). Committed operating points live in RECALL.md. */
+  * boundaries). Committed operating points live in RECALL.md.
+  *
+  * DRIFT MODE (`runMain graft.IvfAppendBench <embeddingsDir> <N>`):
+  * quantifies how recall decays as appends accumulate under centroids
+  * that were never refit — the number the reindex-cadence threshold is
+  * calibrated from. The corpus is the raw embeddings plus
+  * KnnScaleBench's 5 deterministic planted near-copies of each of the
+  * 40 fixed queries (cos ≈ 1 — TRUE neighbors, so recall has a 1.0
+  * ceiling instead of this synthetic corpus's ~0.4 far-neighbor floor).
+  * The index is built on HALF the corpus (odd vec_ids — which excludes
+  * every planted copy), then the even half arrives in N equal
+  * installments (bucketed by `vec_id % 2N`), so ALL true neighbors
+  * enter through `ivfAppend` under never-refit centroids. After EACH
+  * installment: pooled-pair recall@5 of the appended index's probe
+  * against the EXACT top-k over the corpus-so-far (RecallBench's
+  * recall definition), alongside the manifest's `appended_rows / rows`
+  * staleness fraction — pairing each drift point with the signal a
+  * deployment alerts on. A from-scratch rebuild of the full corpus
+  * closes the run: its recall is the refit ceiling, so
+  * (ceiling − last step) isolates DRIFT from IVF's intrinsic
+  * approximation. nlist is sized for the FULL corpus in both modes (a
+  * deployment provisions cells for the corpus it expects to serve). */
 object IvfAppendBench {
 
   private val K = 5
 
-  def main(args: Array[String]): Unit = {
-    val Array(dir) = args
+  private def session(): SparkSession = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,11 +52,24 @@ object IvfAppendBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    def fmt(v: Double, d: Int = 1) =
-      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+    spark
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def fmt(v: Double, d: Int = 1) =
+    String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length == 2) return drift(args(0), args(1).toInt)
+    val Array(dir) = args
+    val spark = session()
 
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -60,15 +93,77 @@ object IvfAppendBench {
     val (pa, pr) = (pairs(idxA), pairs(idxR))
     val agree = (pa & pr).size.toDouble / math.max(pr.size, 1)
 
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
     rmTree(new java.io.File(idxA)); rmTree(new java.io.File(idxR))
 
     println(s"""{"ivf_append":{"dir":"$dir","corpus":$n,"nlist":$nlist,""" +
       s""""build90_sec":${fmt(tBuild90)},"append10_sec":${fmt(tAppend)},""" +
       s""""rebuild_sec":${fmt(tRebuild)},"union_valid":$unionValid,""" +
       s""""probe_agreement_at5":${fmt(agree, 3)}}}""")
+    spark.stop()
+  }
+
+  /** Drift mode — see the object scaladoc. */
+  private def drift(dir: String, installments: Int): Unit = {
+    val spark = session()
+    val raw = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = raw.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+    // KnnScaleBench's planting, verbatim: copy j of query q is a
+    // deterministic columnar perturbation (cos ≈ 1) at id q + j·10⁸ —
+    // EVEN ids, so every true neighbor arrives through the appends
+    val dim = 64
+    val planted = (1 to 5).map { j =>
+      queries.select(
+        (col("vec_id") + j * 100000000L).as("vec_id"),
+        expr(s"""transform(embedding, (x, i) ->
+                |  x + 0.01d * $j * element_at(embedding, CAST((i + 1) % $dim AS INT) + 1))"""
+          .stripMargin).as("embedding"))
+    }.reduce(_ union _)
+    // stage to parquet so every step (appends, exact scans, probes)
+    // reads storage, like a serving deployment (the KnnScaleBench rule)
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_${spark.sparkContext.applicationId}/drift_corpus_${dir.hashCode.toHexString}")
+    raw.union(planted).write.mode("overwrite").parquet(staged.getAbsolutePath)
+    val e = spark.read.parquet(staged.getAbsolutePath)
+    val n = e.count()
+    val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    val base = e.filter(col("vec_id") % 2 === 1) // odd half pre-indexed
+    // even ids arrive in N equal installments: installment j holds
+    // vec_id % 2N == 2j (see scaladoc)
+    def soFar(i: Int) = e.filter(
+      col("vec_id") % 2 === 1 || col("vec_id") % (2 * installments) < 2 * i)
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallVsExact(idx: String, corpus: org.apache.spark.sql.DataFrame): Double = {
+      val exact = pairs(operators.Similarity.knnTopK(corpus, queries, K))
+      val approx = pairs(
+        operators.Similarity.ivfProbe(spark, idx, queries, K, nprobe = 4))
+      (exact & approx).size.toDouble / math.max(exact.size, 1)
+    }
+
+    val idx = operators.Similarity.ivfIndexDir(spark, s"$dir#driftbench")
+    val tBuild = time(operators.Similarity.ivfBuild(base, idx, nlist))
+    val steps = (1 to installments).map { i =>
+      val batch = e.filter(col("vec_id") % (2 * installments) === 2 * (i - 1))
+      val tApp = time(operators.Similarity.ivfAppend(batch, idx))
+      val frac = operators.Similarity.ivfAppendedFraction(idx).get
+      val rec = recallVsExact(idx, soFar(i))
+      System.err.println(s"# step $i/$installments: appended_frac=${fmt(frac, 3)} recall=${fmt(rec, 3)}")
+      s"""{"i":$i,"appended_frac":${fmt(frac, 3)},"append_sec":${fmt(tApp)},"recall_at5":${fmt(rec, 3)}}"""
+    }
+    // refit ceiling: a from-scratch build over the final corpus
+    val idxR = operators.Similarity.ivfIndexDir(spark, s"$dir#driftrebuild")
+    val tRebuild = time(operators.Similarity.ivfBuild(e, idxR, nlist))
+    val recRebuilt = recallVsExact(idxR, e)
+    rmTree(new java.io.File(idx)); rmTree(new java.io.File(idxR)); rmTree(staged)
+
+    println(s"""{"ivf_drift":{"dir":"$dir","corpus":$n,"nlist":$nlist,""" +
+      s""""installments":$installments,"build_half_sec":${fmt(tBuild)},""" +
+      s""""steps":[${steps.mkString(",")}],""" +
+      s""""rebuild_sec":${fmt(tRebuild)},"rebuilt_recall_at5":${fmt(recRebuilt, 3)}}}""")
     spark.stop()
   }
 }
