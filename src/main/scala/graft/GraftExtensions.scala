@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.expressions.{CharGramHash, JsNumberString, JsToFixed, ShingleHash, TokenMask, TokenMatchCount, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
-import graft.plans.{AsofJoinStrategy, AsofLE, AsofSqlRule}
+import graft.expressions.{CharGramHash, JsNumberString, JsToFixed, LshBuckets, ShingleHash, TokenMask, TokenMatchCount, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
+import graft.plans.{AsofGE, AsofJoinStrategy, AsofLE, AsofNear, AsofSqlRule}
 
 /** Production registration path: build the session with
   *
@@ -81,11 +81,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(es.length >= 2, "token_match_count(text, entity...)")
         TokenMatchCount(es.head, es.tail.map(strLit(_, "token_match_count")))
       }))
+    // Multi-table hyperplane LSH bucket ids for SQL callers:
+    // lsh_buckets(emb, tables, bits, dim) — the plane matrix is derived
+    // from the literal params with the library's fixed seed
+    // (Similarity.planes), so SQL text and the Scala lshKnn spelling
+    // bucket identically (GraftExtensionsSpec pins it).
+    ext.injectFunction((FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo("graft", "lsh_buckets"),
+      (es: Seq[Expression]) => {
+        require(es.length == 4, "lsh_buckets(emb, tables, bits, dim)")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"lsh_buckets: $what must be an integer literal, got $other")
+        }
+        LshBuckets(es.head,
+          graft.operators.Similarity.planes(intLit(es(1), "tables"),
+            intLit(es(2), "bits"), intLit(es(3), "dim")),
+          intLit(es(2), "bits"))
+      }))
     // SQL-text as-of join: `l LEFT JOIN r ON l.k = r.k AND asof_le(r.t,
-    // l.t)` — the asof_le marker + resolution rule rewrite the join into
-    // the AsofJoin logical node, which the strategy below plans as the
+    // l.t)` — a direction marker (asof_le backward / asof_ge forward /
+    // asof_near nearest) + resolution rule rewrite the join into the
+    // AsofJoin logical node, which the strategy below plans as the
     // merge AsofJoinExec (see graft.plans.AsofSql).
     ext.injectFunction(fn("asof_le", es => AsofLE(es(0), es(1))))
+    ext.injectFunction(fn("asof_ge", es => AsofGE(es(0), es(1))))
+    ext.injectFunction(fn("asof_near", es => AsofNear(es(0), es(1))))
     ext.injectResolutionRule(_ => AsofSqlRule)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }

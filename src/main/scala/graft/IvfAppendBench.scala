@@ -24,14 +24,17 @@ import org.apache.spark.sql.functions._
   * 40 fixed queries (cos ≈ 1 — TRUE neighbors, so recall has a 1.0
   * ceiling instead of this synthetic corpus's ~0.4 far-neighbor floor).
   * The index is built on HALF the corpus (odd vec_ids — which excludes
-  * every planted copy), then the even half arrives in N equal
-  * installments (bucketed by `vec_id % 2N`), so ALL true neighbors
-  * enter through `ivfAppend` under never-refit centroids. After EACH
-  * installment: pooled-pair recall@5 of the appended index's probe
-  * against the EXACT top-k over the corpus-so-far (RecallBench's
-  * recall definition), alongside the manifest's `appended_rows / rows`
-  * staleness fraction — pairing each drift point with the signal a
-  * deployment alerts on. A from-scratch rebuild of the full corpus
+  * every planted copy), then the even half arrives in N installments
+  * (hash-bucketed, so raw and planted rows spread uniformly), so ALL
+  * true neighbors enter through `ivfAppend` under never-refit
+  * centroids. After EACH installment: pooled-pair recall@5 of the
+  * appended index's probe against the EXACT top-k over the
+  * corpus-so-far (RecallBench's recall definition) — overall AND
+  * restricted to the planted pairs, which isolates drift from this
+  * corpus's intrinsic far-neighbor floor — alongside the manifest's
+  * `appended_rows / rows` staleness fraction, pairing each drift point
+  * with the signal a deployment alerts on. A from-scratch rebuild of
+  * the full corpus
   * closes the run: its recall is the refit ceiling, so
   * (ceiling − last step) isolates DRIFT from IVF's intrinsic
   * approximation. nlist is sized for the FULL corpus in both modes (a
@@ -129,41 +132,52 @@ object IvfAppendBench {
     val n = e.count()
     val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
     val base = e.filter(col("vec_id") % 2 === 1) // odd half pre-indexed
-    // even ids arrive in N equal installments: installment j holds
-    // vec_id % 2N == 2j (see scaladoc)
-    def soFar(i: Int) = e.filter(
-      col("vec_id") % 2 === 1 || col("vec_id") % (2 * installments) < 2 * i)
+    // even ids arrive in N installments bucketed BY HASH (uniform and
+    // deterministic — a vec_id-range split would clump the planted ids,
+    // whose q + j·10⁸ spacing aliases any modular bucketing)
+    val bucket = pmod(xxhash64(col("vec_id")), lit(installments))
+    def soFar(i: Int) =
+      e.filter(col("vec_id") % 2 === 1 || bucket < i)
 
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("q_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recallVsExact(idx: String, corpus: org.apache.spark.sql.DataFrame): Double = {
+    /** (overall recall@5, planted-pair recall@5): planted pairs — exact
+      * neighbors with the 10⁸-offset ids — are the TRUE near-dups that
+      * arrived through appends, so their recall isolates drift from this
+      * corpus's intrinsic far-neighbor floor (see RECALL.md "what
+      * recall means on this corpus"). */
+    def recallVsExact(idx: String,
+                      corpus: org.apache.spark.sql.DataFrame): (Double, Double) = {
       val exact = pairs(operators.Similarity.knnTopK(corpus, queries, K))
       val approx = pairs(
         operators.Similarity.ivfProbe(spark, idx, queries, K, nprobe = 4))
-      (exact & approx).size.toDouble / math.max(exact.size, 1)
+      val planted = exact.filter(_._2 >= 100000000L)
+      ((exact & approx).size.toDouble / math.max(exact.size, 1),
+        (planted & approx).size.toDouble / math.max(planted.size, 1))
     }
 
     val idx = operators.Similarity.ivfIndexDir(spark, s"$dir#driftbench")
     val tBuild = time(operators.Similarity.ivfBuild(base, idx, nlist))
     val steps = (1 to installments).map { i =>
-      val batch = e.filter(col("vec_id") % (2 * installments) === 2 * (i - 1))
+      val batch = e.filter(col("vec_id") % 2 === 0 && bucket === i - 1)
       val tApp = time(operators.Similarity.ivfAppend(batch, idx))
       val frac = operators.Similarity.ivfAppendedFraction(idx).get
-      val rec = recallVsExact(idx, soFar(i))
-      System.err.println(s"# step $i/$installments: appended_frac=${fmt(frac, 3)} recall=${fmt(rec, 3)}")
-      s"""{"i":$i,"appended_frac":${fmt(frac, 3)},"append_sec":${fmt(tApp)},"recall_at5":${fmt(rec, 3)}}"""
+      val (rec, recP) = recallVsExact(idx, soFar(i))
+      System.err.println(s"# step $i/$installments: appended_frac=${fmt(frac, 3)} recall=${fmt(rec, 3)} planted=${fmt(recP, 3)}")
+      s"""{"i":$i,"appended_frac":${fmt(frac, 3)},"append_sec":${fmt(tApp)},"recall_at5":${fmt(rec, 3)},"planted_recall_at5":${fmt(recP, 3)}}"""
     }
     // refit ceiling: a from-scratch build over the final corpus
     val idxR = operators.Similarity.ivfIndexDir(spark, s"$dir#driftrebuild")
     val tRebuild = time(operators.Similarity.ivfBuild(e, idxR, nlist))
-    val recRebuilt = recallVsExact(idxR, e)
+    val (recRebuilt, recPRebuilt) = recallVsExact(idxR, e)
     rmTree(new java.io.File(idx)); rmTree(new java.io.File(idxR)); rmTree(staged)
 
     println(s"""{"ivf_drift":{"dir":"$dir","corpus":$n,"nlist":$nlist,""" +
       s""""installments":$installments,"build_half_sec":${fmt(tBuild)},""" +
       s""""steps":[${steps.mkString(",")}],""" +
-      s""""rebuild_sec":${fmt(tRebuild)},"rebuilt_recall_at5":${fmt(recRebuilt, 3)}}}""")
+      s""""rebuild_sec":${fmt(tRebuild)},"rebuilt_recall_at5":${fmt(recRebuilt, 3)},""" +
+      s""""rebuilt_planted_recall_at5":${fmt(recPRebuilt, 3)}}}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.plans.{AsofJoin, AsofJoinStrategy}
+import graft.plans.{AsofDirection, AsofJoin, AsofJoinStrategy}
 
 /** Public API for the custom merge as-of join (graft.plans.AsofJoinPlan).
   *
@@ -31,7 +31,24 @@ object Asof {
     joined.select(left.columns.map(col) ++ rightCols: _*)
   }
 
-  def join(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame = {
+  def join(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame =
+    joinDir(left, right, key, time, AsofDirection.Backward)
+
+  /** Forward as-of: the FIRST right row with r.time >= left.time (pandas
+    * direction='forward'). Same merge cost as [[join]]. */
+  def joinForward(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame =
+    joinDir(left, right, key, time, AsofDirection.Forward)
+
+  /** Nearest as-of: the closer of the backward/forward matches, ties to
+    * the backward one (pandas direction='nearest', the join_asof_near
+    * tie rule). Time must be numeric/timestamp/date (a measurable gap).
+    * Same merge cost as [[join]] — both candidates come from the one
+    * sorted cursor pass. */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame =
+    joinDir(left, right, key, time, AsofDirection.Nearest)
+
+  private def joinDir(left: DataFrame, right: DataFrame, key: String,
+                      time: String, dir: AsofDirection): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -42,7 +59,8 @@ object Asof {
     val plan = AsofJoin(
       ColumnBridge.analyzed(left), ColumnBridge.analyzed(r),
       ColumnBridge.expression(left(key)), ColumnBridge.expression(r(s"r_$key")),
-      ColumnBridge.expression(left(time)), ColumnBridge.expression(r(s"r_$time")))
+      ColumnBridge.expression(left(time)), ColumnBridge.expression(r(s"r_$time")),
+      dir)
     ColumnBridge.ofRows(spark, plan)
   }
 }

@@ -96,5 +96,124 @@ object SqlQueries {
              |                GROUP BY 1, 2) c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
+
+    // Forward as-of in pure SQL text: the asof_ge marker plans the same
+    // merge AsofJoinExec in the Forward direction (FIRST click at or
+    // after each purchase). DuckDB's ASOF JOIN with the inequality
+    // reversed (p.ts <= c.ts) is the exact same semantics, so the family
+    // keeps a hash oracle.
+    Q("sql_asof_fwd",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("graft_events")
+        s.sql(
+          """WITH p AS (SELECT event_id, user_id, ts FROM graft_events
+            |           WHERE event_type = 'purchase'),
+            |     c AS (SELECT user_id AS c_user, ts AS c_ts,
+            |                  max(event_id) AS click_id
+            |           FROM graft_events WHERE event_type = 'click'
+            |           GROUP BY 1, 2)
+            |SELECT p.event_id, p.user_id, unix_micros(p.ts) AS ts_us, click_id
+            |FROM p LEFT JOIN c ON p.user_id = c_user AND asof_ge(c_ts, p.ts)
+            |ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+             |                FROM events WHERE event_type = 'click'
+             |                GROUP BY 1, 2) c
+             |  ON p.user_id = c.user_id AND p.ts <= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Nearest as-of in pure SQL text: asof_near picks the closer of the
+    // backward/forward matches, ties to the backward one — the ONE
+    // merge pass tracks both candidates (AsofJoinPlan.scala). DuckDB has
+    // no nearest ASOF, so the oracle composes its backward and forward
+    // ASOF joins and applies the identical tie rule over exact integer
+    // microsecond gaps.
+    Q("sql_asof_near",
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("graft_events")
+        s.sql(
+          """WITH p AS (SELECT event_id, user_id, ts FROM graft_events
+            |           WHERE event_type = 'purchase'),
+            |     c AS (SELECT user_id AS c_user, ts AS c_ts,
+            |                  max(event_id) AS click_id
+            |           FROM graft_events WHERE event_type = 'click'
+            |           GROUP BY 1, 2)
+            |SELECT p.event_id, p.user_id, unix_micros(p.ts) AS ts_us, click_id
+            |FROM p LEFT JOIN c ON p.user_id = c_user AND asof_near(c_ts, p.ts)
+            |ORDER BY event_id""".stripMargin)
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |           WHERE event_type = 'purchase'),
+             |     c AS (SELECT user_id, ts, max(event_id) AS click_id
+             |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |     b AS (SELECT p.event_id, epoch_us(c.ts) AS b_us,
+             |                  c.click_id AS b_id
+             |           FROM p ASOF LEFT JOIN c
+             |             ON p.user_id = c.user_id AND p.ts >= c.ts),
+             |     f AS (SELECT p.event_id, epoch_us(c.ts) AS f_us,
+             |                  c.click_id AS f_id
+             |           FROM p ASOF LEFT JOIN c
+             |             ON p.user_id = c.user_id AND p.ts <= c.ts)
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             |  CASE WHEN b_id IS NULL THEN f_id
+             |       WHEN f_id IS NULL THEN b_id
+             |       WHEN epoch_us(p.ts) - b_us <= f_us - epoch_us(p.ts) THEN b_id
+             |       ELSE f_id END AS click_id
+             |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // k-means-style cell assignment in pure SQL — the table-valued
+    // argmin contract for the embedding family: cross-join the (small,
+    // broadcast) codebook, score with the injected vec_distsq, keep the
+    // best (dist, cell) per vector via row_number. The codebook here is
+    // the first 8 vectors (deterministic, so the query is oracleable);
+    // a real deployment substitutes its fitted codebook table and keeps
+    // the identical plan shape — one corpus scan, no shuffle wider than
+    // the ranked window. Ties break on cell, and the ORDER BY compares
+    // the RAW fold (bit-identical in both engines); rounding touches
+    // only the output column.
+    Q("sql_emb_assign",
+      (s, dir) => {
+        Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+        s.sql(
+          """WITH cb AS (SELECT vec_id AS cell, embedding AS ctr
+            |            FROM graft_embeddings WHERE vec_id < 8),
+            |d AS (SELECT vec_id, cell, vec_distsq(embedding, ctr) AS d
+            |      FROM graft_embeddings CROSS JOIN cb),
+            |r AS (SELECT vec_id, cell, d,
+            |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            |      FROM d)
+            |SELECT vec_id, cell, round(d * 1e6) / 1e6 AS dist_sq
+            |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+      },
+      Some(s"""WITH cb AS (SELECT vec_id AS cell, embedding AS ctr
+              |            FROM embeddings WHERE vec_id < 8),
+              |d AS (SELECT vec_id, cell, ${distSq("embedding", "ctr")} AS d
+              |      FROM embeddings CROSS JOIN cb),
+              |r AS (SELECT vec_id, cell, d,
+              |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+              |      FROM d)
+              |SELECT vec_id, cell, round(d * 1e6) / 1e6 AS dist_sq
+              |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // LSH banding in pure SQL — the injected lsh_buckets(emb, tables,
+    // bits, dim) derives the plane matrix from the literal params with
+    // the library's fixed seed, so SQL text buckets exactly like the
+    // Scala lshKnn/dedup_embed spelling (GraftExtensionsSpec pins the
+    // equivalence; the planes are JVM-seeded Gaussians, so there is no
+    // DuckDB twin → rows-only check). One scan, one generator — the
+    // candidate-generation shape of the embedding dedup family.
+    Q("sql_lsh_bucket",
+      (s, dir) => {
+        Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+        s.sql(
+          """SELECT vec_id, t, b
+            |FROM graft_embeddings
+            |LATERAL VIEW posexplode(lsh_buckets(embedding, 8, 8, 64)) x AS t, b
+            |ORDER BY vec_id, t""".stripMargin)
+      },
+      None),
   )
 }

@@ -7,11 +7,29 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode => LogicalBinaryN
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
+
+/** Which right row an as-of match attaches to each left row (key, t):
+  *  - [[AsofDirection.Backward]] — the LAST right row with t' <= t
+  *    (pandas merge_asof default; DuckDB `ON l.t >= r.t`);
+  *  - [[AsofDirection.Forward]] — the FIRST right row with t' >= t;
+  *  - [[AsofDirection.Nearest]] — whichever of those two is closer in
+  *    time, ties to the backward match (the join_asof_near contract).
+  * All three are the same one-pass merge over (key, time)-sorted sides
+  * with O(1) state per partition — direction only changes which cursor
+  * position matches. Nearest needs a measurable time gap, so it is
+  * restricted to numeric/timestamp/date time columns (checked at
+  * rewrite time by [[AsofSqlRule]] and defensively at execution). */
+sealed trait AsofDirection
+object AsofDirection {
+  case object Backward extends AsofDirection
+  case object Forward extends AsofDirection
+  case object Nearest extends AsofDirection
+}
 
 /** A true merge as-of join as a custom Catalyst operator (SURVEY.md §4
-  * stretch goal): for each left row (key, t), attach the right row with the
-  * same key and the greatest t' <= t, or nulls if none (left-asof
-  * semantics).
+  * stretch goal): for each left row (key, t), attach the right row the
+  * [[AsofDirection]] selects, or nulls if none (left-asof semantics).
   *
   * Why a custom operator: the composable spellings (union+window, or
   * range-join + row_number) either widen the left rows through a window
@@ -27,7 +45,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
-                    leftTime: Expression, rightTime: Expression)
+                    leftTime: Expression, rightTime: Expression,
+                    direction: AsofDirection = AsofDirection.Backward)
     extends LogicalBinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -38,24 +57,27 @@ case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, dir) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir) :: Nil
     case _ => Nil
   }
 }
 
-/** Merge as-of join: for each left row, the LAST right row with
-  * rightTime <= leftTime within the key group.
+/** Merge as-of join: for each left row, the right row its
+  * [[AsofDirection]] selects within the key group — backward = LAST
+  * rightTime <= leftTime, forward = FIRST rightTime >= leftTime,
+  * nearest = the closer of the two (ties backward).
   *
   * PRECONDITION: (rightKey, rightTime) should be unique on the right
-  * side. With equal-time right rows, "last" is whichever the (unstable)
-  * sort emits last — run-dependent, like DuckDB's ASOF JOIN on the same
-  * input. Callers that can see ties must reduce the right side to one
-  * row per (key, time) first with an explicit keeper (see
-  * join_asof_custom: max id, "last write wins"). */
+  * side. With equal-time right rows, which one survives is whichever the
+  * (unstable) sort emits last/first — run-dependent, like DuckDB's ASOF
+  * JOIN on the same input. Callers that can see ties must reduce the
+  * right side to one row per (key, time) first with an explicit keeper
+  * (see join_asof_custom: max id, "last write wins"). */
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        direction: AsofDirection = AsofDirection.Backward)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -76,6 +98,40 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  /** leftBehind(lT, bT) <= ahead(fT, lT), exact in the type's own
+    * arithmetic — the nearest tie-break. Only called with bT <= lT <= fT
+    * (cursor invariants), so the subtractions are non-negative and
+    * cannot overflow for any two times that are themselves in range. */
+  private def backwardWins(lT: Any, bT: Any, fT: Any): Boolean =
+    leftTime.dataType match {
+      case LongType | TimestampType | TimestampNTZType =>
+        lT.asInstanceOf[Long] - bT.asInstanceOf[Long] <=
+          fT.asInstanceOf[Long] - lT.asInstanceOf[Long]
+      case IntegerType | DateType =>
+        lT.asInstanceOf[Int].toLong - bT.asInstanceOf[Int] <=
+          fT.asInstanceOf[Int].toLong - lT.asInstanceOf[Int]
+      case ShortType =>
+        lT.asInstanceOf[Short].toLong - bT.asInstanceOf[Short] <=
+          fT.asInstanceOf[Short].toLong - lT.asInstanceOf[Short]
+      case ByteType =>
+        lT.asInstanceOf[Byte].toLong - bT.asInstanceOf[Byte] <=
+          fT.asInstanceOf[Byte].toLong - lT.asInstanceOf[Byte]
+      case DoubleType =>
+        lT.asInstanceOf[Double] - bT.asInstanceOf[Double] <=
+          fT.asInstanceOf[Double] - lT.asInstanceOf[Double]
+      case FloatType =>
+        lT.asInstanceOf[Float].toDouble - bT.asInstanceOf[Float] <=
+          fT.asInstanceOf[Float].toDouble - lT.asInstanceOf[Float]
+      case _: DecimalType =>
+        val l = lT.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+        val b = bT.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+        val f = fT.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+        l.subtract(b).compareTo(f.subtract(l)) <= 0
+      case t => throw new IllegalStateException(
+        s"as-of nearest needs a measurable time gap; got ${t.sql} " +
+          "(the rewrite rule should have rejected this plan)")
+    }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lKey = BindReferences.bindReference(leftKey, left.output)
     val lTime = BindReferences.bindReference(leftTime, left.output)
@@ -87,18 +143,22 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       .asInstanceOf[Ordering[Any]]
     val rightWidth = right.output.size
     val outAttrs = output
+    val dir = direction
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      // lookahead right row (NOT copied — consumed before the next fetch)
+      // lookahead right row (NOT copied — never outlives its fetch window:
+      // backward consumes it before the next fetch; forward/nearest
+      // project it into the output before any further fetch)
       var rRow: InternalRow = null
       var rK: Any = null
       var rT: Any = null
-      // latest right row at or before the current left time, for lastK
+      // latest right row at or before the current left time, for lastK/T
       var last: InternalRow = null
       var lastK: Any = null
+      var lastT: Any = null
 
       def fetchRight(): Unit =
         if (rIter.hasNext) {
@@ -108,22 +168,62 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         } else rRow = null
       fetchRight()
 
-      lIter.map { l =>
-        val lK = lKey.eval(l)
-        val lT = lTime.eval(l)
-        // advance the right cursor up to (key, time) <= (lK, lT)
+      /** Consume rights strictly behind the key, plus — when `track`ing
+        * the backward candidate — same-key rights with rT <= lT (copied:
+        * child iterators reuse row objects). Non-tracking (forward) mode
+        * consumes only same-key rights STRICTLY before lT, so an
+        * equal-time right stays at the cursor as the forward match. */
+      def advance(lK: Any, lT: Any, track: Boolean): Unit = {
         var advancing = true
         while (advancing && rRow != null) {
           val c = keyOrd.compare(rK, lK)
           if (c < 0) fetchRight() // right key entirely behind: discard
-          else if (c == 0 && timeOrd.lteq(rT, lT)) {
-            last = rRow.copy()    // rows are reused by the child iterator
-            lastK = rKey.eval(last)
+          else if (c == 0 &&
+              (if (track) timeOrd.lteq(rT, lT) else timeOrd.lt(rT, lT))) {
+            if (track) {
+              last = rRow.copy()
+              lastK = rKey.eval(last)
+              lastT = rTime.eval(last)
+            }
             fetchRight()
           } else advancing = false
         }
-        val matched = last != null && keyOrd.compare(lastK, lK) == 0
-        proj(joined(l, if (matched) last else nullRight))
+      }
+
+      dir match {
+        case AsofDirection.Backward => lIter.map { l =>
+          val lK = lKey.eval(l)
+          val lT = lTime.eval(l)
+          advance(lK, lT, track = true)
+          val matched = last != null && keyOrd.compare(lastK, lK) == 0
+          proj(joined(l, if (matched) last else nullRight))
+        }
+        case AsofDirection.Forward => lIter.map { l =>
+          val lK = lKey.eval(l)
+          val lT = lTime.eval(l)
+          advance(lK, lT, track = false)
+          // loop exit: rRow is the first same-key row with rT >= lT (or a
+          // later key / exhausted). Not consumed — later left rows with
+          // the same key and a larger time may match it too.
+          val matched = rRow != null && keyOrd.compare(rK, lK) == 0
+          proj(joined(l, if (matched) rRow else nullRight))
+        }
+        case AsofDirection.Nearest => lIter.map { l =>
+          val lK = lKey.eval(l)
+          val lT = lTime.eval(l)
+          advance(lK, lT, track = true)
+          // backward candidate: the tracked last (rT <= lT, equality
+          // included — a gap-0 match always wins the tie-break below);
+          // forward candidate: the cursor row (strictly rT > lT here)
+          val b = last != null && keyOrd.compare(lastK, lK) == 0
+          val f = rRow != null && keyOrd.compare(rK, lK) == 0
+          val pick =
+            if (b && f) { if (backwardWins(lT, lastT, rT)) last else rRow }
+            else if (b) last
+            else if (f) rRow
+            else nullRight
+          proj(joined(l, pick))
+        }
       }
     }
   }

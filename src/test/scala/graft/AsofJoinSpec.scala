@@ -64,6 +64,78 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
   }
 
+  test("forward and nearest directions on a constructed example") {
+    val trades = Seq(
+      (1L, t("2024-01-01 10:00:00"), "T1"),
+      (1L, t("2024-01-01 10:05:00"), "T2"),
+      (2L, t("2024-01-01 10:01:00"), "T3"),
+      (3L, t("2024-01-01 09:00:00"), "T4") // key with no quotes at all
+    ).toDF("sym", "ts", "tag")
+    val quotes = Seq(
+      (1L, t("2024-01-01 09:59:00"), 100.0),
+      (1L, t("2024-01-01 10:05:00"), 101.0), // exact tie: matches BOTH directions
+      (1L, t("2024-01-01 10:06:00"), 999.0),
+      (2L, t("2024-01-01 10:02:00"), 200.0)  // after T3: forward-only match
+    ).toDF("sym", "ts", "px")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select("tag", "r_px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // forward: FIRST quote at or after the trade
+    assert(run(Asof.joinForward(trades, quotes, "sym", "ts")) === Map(
+      "T1" -> Some(101.0), // first quote >= 10:00 is 10:05
+      "T2" -> Some(101.0), // tie at 10:05 matches (>= is inclusive)
+      "T3" -> Some(200.0), // the later quote is now a match
+      "T4" -> None))
+    // nearest: closer of the two, ties backward
+    assert(run(Asof.joinNearest(trades, quotes, "sym", "ts")) === Map(
+      "T1" -> Some(100.0), // 1 min back vs 5 min ahead
+      "T2" -> Some(101.0), // gap-0 backward match wins outright
+      "T3" -> Some(200.0), // only a forward candidate exists
+      "T4" -> None))
+    // equidistant tie goes to the backward match
+    val mid = Seq((1L, t("2024-01-01 10:02:00"), "M")).toDF("sym", "ts", "tag")
+    val pair = Seq(
+      (1L, t("2024-01-01 10:01:00"), 1.0),
+      (1L, t("2024-01-01 10:03:00"), 2.0)).toDF("sym", "ts", "px")
+    assert(run(Asof.joinNearest(mid, pair, "sym", "ts")) === Map("M" -> Some(1.0)))
+  }
+
+  test("forward/nearest match an independent computation on real events data") {
+    val events = Tables.events(spark, SF)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+
+    def collectJoin(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "r_click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val gotF = collectJoin(Asof.joinForward(purchases, clicks, "user_id", "ts"))
+    val gotN = collectJoin(Asof.joinNearest(purchases, clicks, "user_id", "ts"))
+
+    val clickRows = clicks.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val (expF, expN) = {
+      val per = purchases.collect().map { p =>
+        val (pid, uid, pts) = (p.getLong(0), p.getLong(1), p.getTimestamp(2))
+        val mine = clickRows.filter(_._1 == uid)
+        val back = mine.filter(!_._2.after(pts)).sortBy(c => (c._2.getTime, c._3)).lastOption
+        val fwd = mine.filter(!_._2.before(pts)).sortBy(c => (c._2.getTime, c._3)).headOption
+        val near = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (pts.getTime - b._2.getTime <= f._2.getTime - pts.getTime) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+        (pid -> fwd.map(_._3), pid -> near.map(_._3))
+      }
+      (per.map(_._1).toMap, per.map(_._2).toMap)
+    }
+    assert(gotF === expF)
+    assert(gotN === expN)
+  }
+
   test("tolerance bound nulls out stale matches") {
     val trades = Seq((1L, t("2024-01-01 10:00:00"), "T1")).toDF("sym", "ts", "tag")
     val quotes = Seq((1L, t("2024-01-01 08:00:00"), 50.0)).toDF("sym", "ts", "px")

@@ -139,6 +139,74 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("a" -> Some(1.5), "b" -> Some(7.5), "c" -> None))
   }
 
+  test("asof_ge / asof_near in pure SQL text plan as the directional merge AsofJoinExec") {
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag").createOrReplaceTempView("ext_asof_l")
+    Seq((1L, 15L, 7.5), (1L, 3L, 1.5), (2L, 9L, 9.9))
+      .toDF("k", "t", "v").createOrReplaceTempView("ext_asof_r")
+    def run(marker: String) = {
+      val df = spark.sql(
+        s"""SELECT l.tag, r.v FROM ext_asof_l l
+           |LEFT JOIN ext_asof_r r ON l.k = r.k AND $marker(r.t, l.t)
+           |ORDER BY l.tag""".stripMargin)
+      val execs = df.queryExecution.sparkPlan.collect {
+        case e: graft.plans.AsofJoinExec => e
+      }
+      assert(execs.nonEmpty, df.queryExecution.sparkPlan.toString)
+      (execs.head.direction,
+        df.collect().map(x =>
+          x.getString(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toSeq)
+    }
+    // forward: a: first r.t >= 10 is 15 -> 7.5; b: none >= 20 -> null;
+    // c: 9 >= 5 -> 9.9
+    assert(run("asof_ge") === (graft.plans.AsofDirection.Forward,
+      Seq("a" -> Some(7.5), "b" -> None, "c" -> Some(9.9))))
+    // nearest: a: |10-15|=5 ahead vs |10-3|=7 back -> 7.5;
+    // b: back 15 (gap 5), no forward -> 7.5; c: only forward 9 -> 9.9
+    assert(run("asof_near") === (graft.plans.AsofDirection.Nearest,
+      Seq("a" -> Some(7.5), "b" -> Some(7.5), "c" -> Some(9.9))))
+  }
+
+  test("asof_near rejects a time type with no measurable gap") {
+    import spark.implicits._
+    Seq((1L, "x", "a")).toDF("k", "t", "tag")
+      .createOrReplaceTempView("ext_asof_str_l")
+    Seq((1L, "w", 1.0)).toDF("k", "t", "v")
+      .createOrReplaceTempView("ext_asof_str_r")
+    val err = intercept[Exception] {
+      spark.sql("""SELECT * FROM ext_asof_str_l l
+                  |LEFT JOIN ext_asof_str_r r ON l.k = r.k AND asof_near(r.t, l.t)
+                  |""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("measurable time gap"), err.getMessage)
+  }
+
+  test("lsh_buckets in SQL text buckets identically to the Scala lshKnn spelling") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    emb.createOrReplaceTempView("ext_lsh_emb")
+    val sql = spark.sql(
+      """SELECT vec_id, t, b FROM ext_lsh_emb
+        |LATERAL VIEW posexplode(lsh_buckets(embedding, 8, 8, 64)) x AS t, b
+        |""".stripMargin)
+    // Scala spelling: the same fixed-seed planes through the same native
+    // expression (what lshKnn/dedup_embed build on)
+    val ps = graft.operators.Similarity.planes(8, 8, 64)
+    val scala = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.posexplode(
+        graft.functions.VectorFunctions.lshBuckets(
+          org.apache.spark.sql.functions.col("embedding"), ps, 8)))
+      .toDF("vec_id", "t", "b")
+    assert(sql.exceptAll(scala).isEmpty && scala.exceptAll(sql).isEmpty)
+    // non-literal params are rejected, not silently defaulted
+    val err = intercept[Exception] {
+      spark.sql("SELECT lsh_buckets(embedding, CAST(vec_id AS INT), 8, 64) FROM ext_lsh_emb")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+
   test("asof_le outside the rewrite contract fails loudly, never degrades to <=") {
     import spark.implicits._
     Seq((1L, 10L)).toDF("k", "t").createOrReplaceTempView("ext_asof_bad_l")
