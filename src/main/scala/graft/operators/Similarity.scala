@@ -545,6 +545,17 @@ object Similarity {
         s"v$FingerprintVersion — rebuild the index")
     val (bn, bfp, bdim) = corpusStats(b)
     if (bn == 0) return None
+    // REPLAY IDEMPOTENCE: re-appending the batch that was committed LAST
+    // is a no-op. This is exactly the at-least-once window of a streaming
+    // ingest (foreachBatch replays its most recent micro-batch after a
+    // crash between the manifest commit and the checkpoint commit —
+    // graft.streaming.IvfIngest); the content fingerprint embedded in the
+    // batch id identifies the replay. A batch equal to an OLDER committed
+    // batch still appends (multiplicity-sensitive manifest, as before) —
+    // only the consecutive-duplicate case, which no correct ingest
+    // produces on purpose, is read as a replay.
+    if (m.batches.lastOption.exists(
+        _.endsWith("_" + java.lang.Long.toHexString(bfp)))) return None
     require(bdim == m.dim,
       s"ivfAppend: batch vector width $bdim != index dim ${m.dim}")
     val s = b.sparkSession

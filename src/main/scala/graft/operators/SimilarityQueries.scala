@@ -131,6 +131,32 @@ object SimilarityQueries {
       },
       None),
 
+    // STREAMING ingest into the stored index: the same 90/10 split as
+    // sim_knn_ivf_append, but the arriving 10% lands through a
+    // foreachBatch sink — one ivfAppend per micro-batch over the chunked
+    // file feed (graft.streaming.IvfIngest) — then the probe serves the
+    // stream-grown index. The manifest a stream ingest leaves is EXACTLY
+    // the one-shot append's and the union build's (fingerprint
+    // additivity + replay idempotence; SimilaritySpec pins all three
+    // equal — the seventh streaming ≡ batch fact). ivfValid(union) gates
+    // the build+ingest, so session re-runs go probe-only. Sketch family
+    // → rows-only check.
+    StreamQ("sim_knn_ivf_stream",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val idx = Similarity.ivfIndexDir(s, dir + "#stream")
+        if (!Similarity.ivfValid(e, idx, nlist = 16)) {
+          Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
+          graft.streaming.IvfIngest.ingestChunked(
+            e.filter(col("vec_id") % 10 === 0), "vec_id", idx,
+            graft.streaming.WeatherStream.stagingDir("ivf_ingest", dir))
+        }
+        Similarity.ivfProbe(s, idx, e.filter(col("vec_id") % 50 === 0), K, nprobe = 2)
+          .select(col("q_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Approximate top-k via multi-table hyperplane LSH (8 tables × 8 bits).
     Q("sim_knn_lsh",
       (s, dir) => {

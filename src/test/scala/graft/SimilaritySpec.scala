@@ -302,6 +302,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.ivfAppendedFraction(idx2).get === 0.0)
   }
 
+  test("streaming ingest ≡ one-shot append ≡ union build (manifest-level, 7th stream≡batch fact)") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toFile.getAbsolutePath
+    // stream-grown index: build on 90%, ingest the 10% through the
+    // chunked feed — one ivfAppend per micro-batch
+    val idxS = tmp("ivf_stream_")
+    Similarity.ivfBuild(base, idxS, nlist = 16)
+    graft.streaming.IvfIngest.ingestChunked(batch, "vec_id", idxS, tmp("ivf_feed_"))
+    // one-shot append and from-scratch union build, for comparison
+    val idxA = tmp("ivf_oneshot_")
+    Similarity.ivfBuild(base, idxA, nlist = 16)
+    Similarity.ivfAppend(batch, idxA)
+    val idxU = tmp("ivf_union_")
+    Similarity.ivfBuild(emb, idxU, nlist = 16)
+    val (ms, ma, mu) = (Similarity.readManifest(idxS).get,
+      Similarity.readManifest(idxA).get, Similarity.readManifest(idxU).get)
+    // the corpus-identity fields agree across all three ingestion paths
+    assert((ms.rows, ms.fingerprint, ms.dim) === (ma.rows, ma.fingerprint, ma.dim))
+    assert((ms.rows, ms.fingerprint, ms.dim) === (mu.rows, mu.fingerprint, mu.dim))
+    // the stream ingest committed multiple micro-batches, all counted
+    assert(ms.batches.size > 1 && ms.appendedRows === batch.count())
+    // the union frame validates the stream-grown index: probe-only serving
+    assert(Similarity.ivfValid(emb, idxS, nlist = 16))
+    // same base build = same codebook = same assignment: the stream-grown
+    // and one-shot-appended indexes serve IDENTICAL results
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(idx: String) = Similarity.ivfProbe(spark, idx, queries, 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pairs(idxS) === pairs(idxA))
+    // replay idempotence: re-ingesting the LAST micro-batch (the
+    // foreachBatch at-least-once window), read back from its own batch
+    // dir, is a no-op on the manifest
+    Similarity.ivfAppend(
+      spark.read.parquet(s"$idxS/batches/${ms.batches.last}/cells.parquet")
+        .select(col("id").as("vec_id"), col("emb").as("embedding")), idxS)
+    assert(Similarity.readManifest(idxS).get === ms)
+  }
+
   test("a torn ivfAppend is invisible to readers and a retry recovers at O(batch)") {
     val idx = java.nio.file.Files.createTempDirectory("ivf_torn_").toFile.getAbsolutePath
     val base = emb.filter(col("vec_id") % 10 =!= 0)
