@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.expressions.{CharGramHash, JsNumberString, JsToFixed, LshBuckets, ShingleHash, TokenMask, TokenMatchCount, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
+import graft.expressions.{BloomMightContainLong, CharGramHash, JsNumberString, JsToFixed, LshBuckets, ShingleHash, TokenMask, TokenMatchCount, VecCosine, VecDistSq, VecDiv, VecDot, VecMaxAbs, VecQuantize}
 import graft.plans.{AsofGE, AsofJoinStrategy, AsofLE, AsofNear, AsofSqlRule}
 
 /** Production registration path: build the session with
@@ -100,6 +100,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             intLit(es(2), "bits"), intLit(es(3), "dim")),
           intLit(es(2), "bits"))
       }))
+    // Bloom membership probe for SQL callers:
+    // bloom_might_contain_long(h, 'base64(BloomFilter.writeTo bytes)') —
+    // the filter rides as a string literal, decoded once at resolution
+    // into the same codegen'd probe the Scala decontaminateBloom path
+    // uses. The literal spelling suits filters a SQL generator can
+    // inline (up to ~tens of MB); the GB-scale regime stays on the
+    // Scala API, which ships the bytes as a plan reference object.
+    ext.injectFunction(fn("bloom_might_contain_long", es => es(1) match {
+      case Literal(s: UTF8String, StringType) =>
+        BloomMightContainLong(es(0),
+          java.util.Base64.getDecoder.decode(s.toString))
+      case other => throw new IllegalArgumentException(
+        "bloom_might_contain_long(h, filter): filter must be a base64 " +
+          s"string literal of the serialized BloomFilter, got $other")
+    }))
     // SQL-text as-of join: `l LEFT JOIN r ON l.k = r.k AND asof_le(r.t,
     // l.t)` — a direction marker (asof_le backward / asof_ge forward /
     // asof_near nearest) + resolution rule rewrite the join into the

@@ -30,12 +30,13 @@ import org.apache.spark.sql.functions._
   * centroids. After EACH installment: pooled-pair recall@5 of the
   * appended index's probe against the EXACT top-k over the
   * corpus-so-far (RecallBench's recall definition) — overall AND
-  * restricted to the planted pairs, which isolates drift from this
+  * restricted to the NEAR-DUP pairs (exact neighbors at cos >= 0.99:
+  * planted copies plus the scaled corpora's own rotation-0 exact
+  * duplicates), which isolates drift on true near neighbors from this
   * corpus's intrinsic far-neighbor floor — alongside the manifest's
   * `appended_rows / rows` staleness fraction, pairing each drift point
   * with the signal a deployment alerts on. A from-scratch rebuild of
-  * the full corpus
-  * closes the run: its recall is the refit ceiling, so
+  * the full corpus closes the run: its recall is the refit ceiling, so
   * (ceiling − last step) isolates DRIFT from IVF's intrinsic
   * approximation. nlist is sized for the FULL corpus in both modes (a
   * deployment provisions cells for the corpus it expects to serve). */
@@ -139,22 +140,28 @@ object IvfAppendBench {
     def soFar(i: Int) =
       e.filter(col("vec_id") % 2 === 1 || bucket < i)
 
-    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.select("q_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    /** (overall recall@5, planted-pair recall@5): planted pairs — exact
-      * neighbors with the 10⁸-offset ids — are the TRUE near-dups that
-      * arrived through appends, so their recall isolates drift from this
-      * corpus's intrinsic far-neighbor floor (see RECALL.md "what
-      * recall means on this corpus"). */
+    /** (overall recall@5, near-dup recall@5). Near-dup pairs = exact
+      * top-5 neighbors at cos >= 0.99: the planted copies PLUS the
+      * scaled corpus's own rotation-0 exact duplicates (ScaleData cycles
+      * the rotation through dim, so every 64th copy of a vector is
+      * byte-identical — those outrank the planted cos ≈ 0.99997 copies
+      * in exact top-5, which is why the metric keys on cosine, not on
+      * the planted id range). Their recall isolates drift on TRUE near
+      * neighbors from this corpus's intrinsic far-neighbor floor (see
+      * RECALL.md "what recall means on this corpus"). */
     def recallVsExact(idx: String,
                       corpus: org.apache.spark.sql.DataFrame): (Double, Double) = {
-      val exact = pairs(operators.Similarity.knnTopK(corpus, queries, K))
-      val approx = pairs(
-        operators.Similarity.ivfProbe(spark, idx, queries, K, nprobe = 4))
-      val planted = exact.filter(_._2 >= 100000000L)
+      val exactRows = operators.Similarity.knnTopK(corpus, queries, K)
+        .select("q_id", "neighbor_id", "cos").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      val exact = exactRows.map(_._1).toSet
+      val nearDup = exactRows.collect { case (p, c) if c >= 0.99 => p }.toSet
+      val approx = operators.Similarity
+        .ivfProbe(spark, idx, queries, K, nprobe = 4)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
       ((exact & approx).size.toDouble / math.max(exact.size, 1),
-        (planted & approx).size.toDouble / math.max(planted.size, 1))
+        (nearDup & approx).size.toDouble / math.max(nearDup.size, 1))
     }
 
     val idx = operators.Similarity.ivfIndexDir(spark, s"$dir#driftbench")
@@ -164,8 +171,8 @@ object IvfAppendBench {
       val tApp = time(operators.Similarity.ivfAppend(batch, idx))
       val frac = operators.Similarity.ivfAppendedFraction(idx).get
       val (rec, recP) = recallVsExact(idx, soFar(i))
-      System.err.println(s"# step $i/$installments: appended_frac=${fmt(frac, 3)} recall=${fmt(rec, 3)} planted=${fmt(recP, 3)}")
-      s"""{"i":$i,"appended_frac":${fmt(frac, 3)},"append_sec":${fmt(tApp)},"recall_at5":${fmt(rec, 3)},"planted_recall_at5":${fmt(recP, 3)}}"""
+      System.err.println(s"# step $i/$installments: appended_frac=${fmt(frac, 3)} recall=${fmt(rec, 3)} neardup=${fmt(recP, 3)}")
+      s"""{"i":$i,"appended_frac":${fmt(frac, 3)},"append_sec":${fmt(tApp)},"recall_at5":${fmt(rec, 3)},"neardup_recall_at5":${fmt(recP, 3)}}"""
     }
     // refit ceiling: a from-scratch build over the final corpus
     val idxR = operators.Similarity.ivfIndexDir(spark, s"$dir#driftrebuild")
@@ -177,7 +184,7 @@ object IvfAppendBench {
       s""""installments":$installments,"build_half_sec":${fmt(tBuild)},""" +
       s""""steps":[${steps.mkString(",")}],""" +
       s""""rebuild_sec":${fmt(tRebuild)},"rebuilt_recall_at5":${fmt(recRebuilt, 3)},""" +
-      s""""rebuilt_planted_recall_at5":${fmt(recPRebuilt, 3)}}}""")
+      s""""rebuilt_neardup_recall_at5":${fmt(recPRebuilt, 3)}}}""")
     spark.stop()
   }
 }

@@ -485,11 +485,15 @@ object Similarity {
     * corpus-sized IO), while an append pays only the batch's one
     * assignment pass (the same native [[graft.expressions.ArgMinDistSq]]
     * codegen the build uses) plus the batch's own bytes. Centroids drift
-    * from the union's true k-means as batches accumulate — recall
-    * degrades gracefully (cells get less tight, never wrong: the cell is
-    * a blocking key) — and the deployment contract is a periodic
-    * re-[[ivfBuild]] at snapshot boundaries, the standard IVF reindex
-    * cadence.
+    * from the union's true k-means as batches accumulate, and the drift
+    * cost is MEASURED (IvfAppendBench drift mode, RECALL.md): up to an
+    * appended fraction of 0.5 on same-distribution ingest, near-dup
+    * recall@5 stays 1.000 at every installment and equals the
+    * full-rebuild ceiling — cells get less tight, never wrong (the cell
+    * is a blocking key; the probe ranks exactly). The manifest's
+    * `appendedRows` fraction ([[ivfAppendedFraction]]) is the alert
+    * signal; the deployment contract is a re-[[ivfBuild]] on
+    * distribution SHIFT or for file compaction, not on fraction alone.
     *
     * The manifest update is ADDITIVE BY CONSTRUCTION: [[corpusStats]]'
     * fingerprint is a wraparound SUM of per-row hashes, so

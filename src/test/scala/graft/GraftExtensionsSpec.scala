@@ -207,6 +207,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 
+  test("bloom_might_contain_long probes a base64-literal filter identically to the Scala path") {
+    import spark.implicits._
+    val keys = (0L until 200L).map(_ * 7L)
+    val bf = keys.toDF("k").stat.bloomFilter("k", 200, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    (0L until 1400L).toDF("h").createOrReplaceTempView("ext_bloom_probe")
+    val sql = spark.sql(
+      s"SELECT h, bloom_might_contain_long(h, '$b64') AS hit FROM ext_bloom_probe")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives: every inserted key probes true
+    assert(keys.forall(sql(_)), "bloom SQL probe lost an inserted key")
+    // agrees with the driver-side filter on every input (the expression
+    // wraps the SAME deserialized sketch)
+    assert((0L until 1400L).forall(h => sql(h) == bf.mightContainLong(h)))
+    // non-literal filter argument is rejected
+    val err = intercept[Exception] {
+      spark.sql("SELECT bloom_might_contain_long(h, CAST(h AS STRING)) FROM ext_bloom_probe")
+        .collect()
+    }
+    assert(err.getMessage.contains("base64"), err.getMessage)
+  }
+
   test("asof_le outside the rewrite contract fails loudly, never degrades to <=") {
     import spark.implicits._
     Seq((1L, 10L)).toDF("k", "t").createOrReplaceTempView("ext_asof_bad_l")

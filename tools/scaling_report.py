@@ -126,6 +126,30 @@ SHAPE_NOTES = {
         "slope is ~sqrt(n) at fixed query batch — measured in RECALL.md; "
         "the bench row rebuilds the index per run AND scales the query "
         "set with the corpus, so it carries the quadratic workload term"),
+    "sim_knn_ivf_stream": (
+        "IVF build on 90% + STREAMING ingest of the rest (one ivfAppend "
+        "per micro-batch via foreachBatch over the chunked feed) + "
+        "partition-pruned probe of the stream-grown index; same "
+        "amortized-offline shape as sim_knn_ivf_append with the feed's "
+        "fixed staging/trigger overhead on top, and the query set scales "
+        "with the corpus (the quadratic workload term)"),
+    "sim_knn_ivf": (
+        "IVF build (sampled fit + cell-partitioned write, paid once "
+        "offline and amortized) + partition-pruned float probe; serving "
+        "slope is ~sqrt(n) at fixed query batch (RECALL.md); the bench "
+        "row scales the query set with the corpus — quadratic workload "
+        "term"),
+    "sql_asof_near": (
+        "one merge pass (hash-partition + sort per side) tracking both "
+        "directional candidates; wall tracks rows sorted, ~n log n by "
+        "decade like the other as-of rows"),
+    "sql_emb_assign": (
+        "one corpus scan x 8-row broadcast codebook + per-vector "
+        "row_number keep-best: linear in corpus, shuffle only for the "
+        "window partition on vec_id"),
+    "sql_lsh_bucket": (
+        "one corpus scan through the native LshBuckets expression + "
+        "posexplode (tables rows per vector): linear in corpus bytes"),
 }
 
 
