@@ -150,6 +150,39 @@ SHAPE_NOTES = {
     "sql_lsh_bucket": (
         "one corpus scan through the native LshBuckets expression + "
         "posexplode (tables rows per vector): linear in corpus bytes"),
+    "sim_knn": (
+        "exact brute-force ranking, quadratic BY WORKLOAD (the query set "
+        "is every 50th vector, so queries x corpus grows n^2/50); the "
+        "shipped scale paths are sim_knn_ivf/_i8/_lsh (sub-linear probe, "
+        "measured crossover at 2e7 in RECALL.md) — this row is the "
+        "correctness baseline they are measured against"),
+    "sim_knn_topk": (
+        "exact ranking through the bounded TopKAggregator buffer (k rows "
+        "per partition x query into the shuffle); same quadratic-by-"
+        "workload query set as sim_knn, same shipped sub-linear "
+        "alternatives"),
+    "sim_knn_i8": (
+        "exact ranking over int8-quantized codes (4x fewer bytes "
+        "scanned); same quadratic-by-workload query set as sim_knn"),
+    "join_stream_static": (
+        "stream-static equi-join: the static side is re-scanned per "
+        "micro-batch (stateless join, Spark semantics), so wall tracks "
+        "chunks x static-scan + one pass over the stream side; no state "
+        "store growth"),
+    "win_session_stream": (
+        "streaming session windows with cross-batch merge: per-chunk "
+        "state-store read-modify-write over open sessions; wall tracks "
+        "chunks x (state partitions + arrived rows), state bounded by "
+        "open sessions at the watermark"),
+    "text_repetition": (
+        "one documents scan computing char-gram repetition ratios per "
+        "row (regex + grouped gram counts inside codegen), no shuffle "
+        "beyond the output sort; linear in corpus bytes with a heavy "
+        "per-row constant"),
+    "text_tokens": (
+        "one documents scan of per-row tokenizations (whitespace split + "
+        "BPE-ish regexp_count), no shuffle beyond the output sort; "
+        "linear in corpus bytes with a heavy per-row regex constant"),
 }
 
 
