@@ -41,11 +41,23 @@ object Asof {
 
   /** Nearest as-of: the closer of the backward/forward matches, ties to
     * the backward one (pandas direction='nearest', the join_asof_near
-    * tie rule). Time must be numeric/timestamp/date (a measurable gap).
-    * Same merge cost as [[join]] — both candidates come from the one
-    * sorted cursor pass. */
-  def joinNearest(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame =
+    * tie rule). Time must be numeric/timestamp/date (a measurable gap) —
+    * validated HERE, mirroring [[graft.plans.AsofNear]]'s SQL-side
+    * checkInputDataTypes: this Scala path never goes through the SQL
+    * rewrite rule, so without the upfront check a string time column
+    * only failed deep inside execution with a message blaming the
+    * rewrite rule. Same merge cost as [[join]] — both candidates come
+    * from the one sorted cursor pass. */
+  def joinNearest(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    left.schema(time).dataType match {
+      case _: NumericType | TimestampType | TimestampNTZType | DateType => ()
+      case t => throw new IllegalArgumentException(
+        s"Asof.joinNearest needs a measurable time gap (numeric, timestamp " +
+          s"or date) on '$time', got ${t.sql}")
+    }
     joinDir(left, right, key, time, AsofDirection.Nearest)
+  }
 
   private def joinDir(left: DataFrame, right: DataFrame, key: String,
                       time: String, dir: AsofDirection): DataFrame = {

@@ -439,10 +439,14 @@ object Dedup {
                          textCol: String, k: Int = 3, flagFrac: Double = 0.5,
                          fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // LAZY checkpoint + count: the count is the materializing action, so
+    // the benchmark side pays ONE job for (checkpoint, row count) together
+    // — the eager-checkpoint-then-count spelling ran the same scan twice.
     val bench = shingleHashes(benchmark, idCol, textCol, k)
-      .select(col("s")).distinct().localCheckpoint(true)
+      .select(col("s")).distinct().localCheckpoint(false)
+    val benchN = bench.count()
     val bloomBytes = {
-      val bf = bench.stat.bloomFilter("s", math.max(bench.count(), 1L), fpp)
+      val bf = bench.stat.bloomFilter("s", math.max(benchN, 1L), fpp)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray

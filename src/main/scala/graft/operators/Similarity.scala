@@ -20,6 +20,8 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Deterministic Gaussian hyperplanes (fixed seed — identical across
     * sessions/executors). */
   private[graft] def planes(tables: Int, bits: Int, dim: Int): Array[Array[Double]] = {
@@ -168,7 +170,15 @@ object Similarity {
     * dropped), nprobe nearest cells each, ties to the smaller cell id.
     * The codebook is nlist×dim — broadcast, so probing is a narrow
     * per-query computation however large nlist grows (no giant literal
-    * expressions; at nlist = √n this stays a few MB at any corpus size). */
+    * expressions; at nlist = √n this stays a few MB at any corpus size).
+    *
+    * MATERIALIZED (eager localCheckpoint, ≤ nprobe·|queries| rows) so the
+    * two consumers — the driver-side [[probedCellSet]] collect and the
+    * broadcast join input — read the SAME computed probe set. Without
+    * it, each consumer recomputed this plan, and a caller whose queries
+    * frame is non-deterministic (sample/rand/uuid upstream) could have
+    * the static IN filter prune cells the join-side recomputation
+    * assigns — silently dropping true candidates. */
   private def probeCells(queries: DataFrame, codebook: DataFrame,
                          nprobe: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(asc("score"), asc("cell"))
@@ -178,6 +188,7 @@ object Similarity {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= nprobe)
       .select("q_id", "q_emb", "cell")
+      .localCheckpoint(true)
   }
 
   /** The DISTINCT cells this serving batch probes, collected driver-side
@@ -188,7 +199,9 @@ object Similarity {
     * branch (an appended index reads a UNION of per-batch roots, where
     * runtime dynamic partition pruning does not reach — and even on a
     * single root DPP is heuristic where this is guaranteed). Costs one
-    * tiny extra job over the queries×codebook frame per serving batch. */
+    * tiny extra job over the MATERIALIZED probe frame per serving batch
+    * (see [[probeCells]] — collect and join read the same checkpoint, so
+    * the set can never diverge from what the join sees). */
   private def probedCellSet(probed: DataFrame): Seq[Int] =
     probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
 
@@ -258,11 +271,23 @@ object Similarity {
     * The manifest is ALSO the reader's commit log: serving reads the base
     * cell artifacts plus exactly the `batches` listed here, so data that
     * reached the directory without its manifest update (a torn append)
-    * is invisible — see [[ivfAppend]]'s crash-recovery contract. */
+    * is invisible — see [[ivfAppend]]'s crash-recovery contract.
+    *
+    * `seq` counts appends ever committed since the build (monotone — it
+    * survives [[ivfCompact]], unlike `batches.size`, so batch ids never
+    * collide across a compaction). `lastRows`/`lastFp` are the last
+    * committed append batch's row count and content fingerprint — the
+    * REPLAY-DETECTION pair ([[ivfAppendStage]]): both survive compaction
+    * too, so a streaming replay that straddles a compact is still caught.
+    * (0, 0) means "no append since build" (an empty batch never commits,
+    * so a real batch always has rows > 0). */
   final case class IvfManifest(rows: Long, fingerprint: Long, nlist: Int,
                                dim: Int, fpv: Int = 1,
                                appendedRows: Long = 0L,
-                               batches: Seq[String] = Nil)
+                               batches: Seq[String] = Nil,
+                               seq: Long = 0L,
+                               lastRows: Long = 0L,
+                               lastFp: Long = 0L)
 
   private def manifestPath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "manifest.json")
@@ -276,7 +301,9 @@ object Similarity {
     val batchesJson = m.batches.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"rows":${m.rows},"fingerprint":${m.fingerprint},""" +
       s""""nlist":${m.nlist},"dim":${m.dim},"fpv":${m.fpv},""" +
-      s""""appended_rows":${m.appendedRows},"batches":$batchesJson}"""
+      s""""appended_rows":${m.appendedRows},"seq":${m.seq},""" +
+      s""""last_rows":${m.lastRows},"last_fp":${m.lastFp},""" +
+      s""""batches":$batchesJson}"""
     val p = manifestPath(indexDir)
     java.nio.file.Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling("manifest.json.tmp")
@@ -300,7 +327,13 @@ object Similarity {
       for (r <- f("rows"); fp <- f("fingerprint"); nl <- f("nlist"); d <- f("dim"))
         yield IvfManifest(r.toLong, fp.toLong, nl.toInt, d.toInt,
           f("fpv").map(_.toInt).getOrElse(1),
-          f("appended_rows").map(_.toLong).getOrElse(0L), batches)
+          f("appended_rows").map(_.toLong).getOrElse(0L), batches,
+          // pre-`seq` manifests never compacted, so batches.size IS the
+          // append count; absent last_* fields fall back to the legacy
+          // batch-id-suffix replay check (see ivfAppendStage)
+          f("seq").map(_.toLong).getOrElse(batches.size.toLong),
+          f("last_rows").map(_.toLong).getOrElse(0L),
+          f("last_fp").map(_.toLong).getOrElse(0L))
     }
   }
 
@@ -553,13 +586,30 @@ object Similarity {
     // is a no-op. This is exactly the at-least-once window of a streaming
     // ingest (foreachBatch replays its most recent micro-batch after a
     // crash between the manifest commit and the checkpoint commit —
-    // graft.streaming.IvfIngest); the content fingerprint embedded in the
-    // batch id identifies the replay. A batch equal to an OLDER committed
-    // batch still appends (multiplicity-sensitive manifest, as before) —
-    // only the consecutive-duplicate case, which no correct ingest
-    // produces on purpose, is read as a replay.
-    if (m.batches.lastOption.exists(
-        _.endsWith("_" + java.lang.Long.toHexString(bfp)))) return None
+    // graft.streaming.IvfIngest); the manifest's (lastRows, lastFp) pair
+    // identifies the replay — BOTH must match, so a different consecutive
+    // batch must collide on the 64-bit fingerprint AND the exact row
+    // count to be misread (the wraparound-sum fingerprint is weaker than
+    // a digest against structured collisions; the row count closes the
+    // equal-hash-sum-different-cardinality family). The pair survives
+    // [[ivfCompact]], so a replay straddling a compaction is still
+    // caught. A batch equal to an OLDER committed batch still appends
+    // (multiplicity-sensitive manifest, as before) — only the
+    // consecutive-duplicate case, which no correct ingest produces on
+    // purpose, is read as a replay, and the skip is LOGGED, never silent.
+    val replay =
+      (m.lastRows == bn && m.lastFp == bfp) ||
+        // legacy manifests (no last_* fields): the old batch-id-suffix
+        // check — fingerprint-only, rows unknown
+        (m.lastRows == 0 && m.batches.lastOption.exists(
+          _.endsWith("_" + java.lang.Long.toHexString(bfp))))
+    if (replay) {
+      log.warn(s"ivfAppend: batch (rows=$bn, fp=$bfp) matches the last " +
+        s"committed batch under $indexDir — treating as an at-least-once " +
+        "replay, skipping (re-ingest of identical consecutive batches is " +
+        "indistinguishable from a replay by design)")
+      return None
+    }
     require(bdim == m.dim,
       s"ivfAppend: batch vector width $bdim != index dim ${m.dim}")
     val s = b.sparkSession
@@ -569,9 +619,13 @@ object Similarity {
       s"ivfAppend: codebook has ${ctrRows.length} cells, manifest says ${m.nlist}")
     val ctrs: Array[Array[Double]] = ctrRows.map(_.getSeq[Double](1).toArray)
     // deterministic id: a retry of this exact (index state, batch) pair
-    // re-derives the same id and overwrites its own torn leftovers
+    // re-derives the same id and overwrites its own torn leftovers. The
+    // row count rides in the id alongside the fingerprint (harder to
+    // collide, and a human can read batch sizes off the directory tree);
+    // the seq prefix is the manifest's monotone append counter, so ids
+    // stay unique across compactions too.
     val batchId =
-      f"b${m.batches.size + 1}%04d_${java.lang.Long.toHexString(bfp)}"
+      f"b${m.seq + 1}%04d_${bn}_${java.lang.Long.toHexString(bfp)}"
     val staging = s"$indexDir/_staging/$batchId"
     val cells = b.select(col("id"), col("emb"),
       argMinDistSq(col("emb"), ctrs).getField("j").as("cell"))
@@ -610,11 +664,87 @@ object Similarity {
                                      batchId: String, bn: Long, bfp: Long): Unit = {
     writeManifest(indexDir,
       m.copy(rows = m.rows + bn, fingerprint = m.fingerprint + bfp,
-        appendedRows = m.appendedRows + bn, batches = m.batches :+ batchId))
+        appendedRows = m.appendedRows + bn, batches = m.batches :+ batchId,
+        seq = m.seq + 1, lastRows = bn, lastFp = bfp))
     // the stored index no longer corresponds to any frame validated
     // before this append
     validated.remove(indexDir)
     ()
+  }
+
+  /** FOLD the committed append batches into ONE batch root — the
+    * file-count bound continuous ingest needs. Every [[ivfAppend]] adds
+    * a `batches/<id>/` root (one file per touched cell per artifact), so
+    * under streaming ingest ([[graft.streaming.IvfIngest]] — one append
+    * per micro-batch forever) probe file-open cost grows without bound:
+    * the serving read is a UNION of per-root scans (static cell-set
+    * pruning, no DPP under a Union — [[ivfCells]]), and each probed cell
+    * opens one file per root. Compaction rewrites the appended rows into
+    * a single root, capping serving at TWO roots (base + compacted)
+    * regardless of how many batches ever landed — and it never touches
+    * the base: compaction IO is O(appended bytes), not O(corpus), which
+    * at 100 TB is the difference between a background chore and a
+    * rewrite nobody schedules. (COMPACT.md carries the measured
+    * file-count and probe-wall deltas.)
+    *
+    * FINGERPRINT-NEUTRAL BY CONSTRUCTION: the folded root holds exactly
+    * the union of the batch rows, so rows / fingerprint / appendedRows /
+    * seq / lastRows / lastFp are all UNCHANGED — the new manifest differs
+    * only in `batches` (now one id). `appendedRows` deliberately
+    * survives: those rows were assigned under never-refit centroids, and
+    * compaction moves bytes, not cell boundaries — the staleness alert
+    * ([[ivfAppendedFraction]]) must keep firing. Replay detection
+    * (lastRows, lastFp) survives too, so a streaming replay straddling a
+    * compact is still a no-op.
+    *
+    * CRASH RECOVERY — the same stage/promote/commit protocol as append:
+    * the folded cells are written under `_staging/<compactId>/`, promoted
+    * to `batches/<compactId>/` (invisible — unlisted), and published by
+    * the one atomic manifest replace. A crash anywhere before that
+    * leaves the old manifest serving the old (correct) batch list; a
+    * crash after it leaves the folded dirs live and the superseded batch
+    * dirs as unlisted orphans, swept by the post-commit cleanup of the
+    * NEXT compact or rebuild. The compact id is deterministic from the
+    * manifest state (seq + appended rows + index fingerprint), so a
+    * retry overwrites its own torn leftovers.
+    *
+    * Row-count guard: the staged fold must hold exactly
+    * `appendedRows` rows (batches always hold precisely the rows appended
+    * since the last build — the build clears them, appends add them,
+    * compaction preserves them), so torn batch data fails the compact
+    * loudly instead of committing a short fold.
+    *
+    * SINGLE-WRITER, like every `indexDir` mutation. No-op below two
+    * committed batches — there is nothing to fold. */
+  def ivfCompact(s: SparkSession, indexDir: String): Unit = {
+    val m = readManifest(indexDir).getOrElse(sys.error(
+      s"ivfCompact: no readable manifest under $indexDir"))
+    if (m.batches.size < 2) return
+    val compactId = f"c${m.seq}%04d_${m.appendedRows}_" +
+      java.lang.Long.toHexString(m.fingerprint)
+    val staging = s"$indexDir/_staging/$compactId"
+    for (a <- Seq("cells.parquet", "cells_i8.parquet")) {
+      // per-root reads + union (sibling partitioned roots — the ivfCells
+      // rule); the fold re-clusters by cell so each cell lands in ONE
+      // task → one file per cell per artifact, the ivfBuild layout
+      m.batches.map(b => s.read.parquet(s"$indexDir/batches/$b/$a"))
+        .reduce(_ unionByName _)
+        .repartition(m.nlist, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$staging/$a")
+    }
+    val folded = s.read.parquet(s"$staging/cells.parquet").count()
+    require(folded == m.appendedRows,
+      s"ivfCompact: folded ${folded} rows but the manifest says " +
+        s"${m.appendedRows} were appended — batch data under $indexDir " +
+        "is torn; not committing")
+    ivfAppendPromote(indexDir, compactId)
+    writeManifest(indexDir, m.copy(batches = Seq(compactId)))
+    // post-commit sweep: the superseded batch dirs (now unlisted), plus
+    // any orphans a previous crash-after-commit left behind
+    Option(new java.io.File(s"$indexDir/batches").listFiles()).foreach(
+      _.filterNot(_.getName == compactId).foreach(rmTree))
+    log.info(s"ivfCompact: folded ${m.batches.size} batches " +
+      s"(${m.appendedRows} rows) into $compactId under $indexDir")
   }
 
   /** ONLINE probe against a stored index: read + broadcast the codebook,

@@ -100,13 +100,20 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 
   /** leftBehind(lT, bT) <= ahead(fT, lT), exact in the type's own
     * arithmetic — the nearest tie-break. Only called with bT <= lT <= fT
-    * (cursor invariants), so the subtractions are non-negative and
-    * cannot overflow for any two times that are themselves in range. */
+    * (cursor invariants), so both gaps are mathematically non-negative.
+    * For the 64-bit integer case the gap itself can still exceed
+    * Long.MaxValue (a plain LongType axis spanning near-MinValue to
+    * positive), where raw signed subtraction wraps negative and flips
+    * the tie — but the wrapped bits are exactly the true gap mod 2⁶⁴,
+    * and a true gap always fits UNSIGNED 64 bits, so compareUnsigned on
+    * the raw differences is exact at any span. The narrower integer
+    * types widen through Long and cannot overflow at all. */
   private def backwardWins(lT: Any, bT: Any, fT: Any): Boolean =
     leftTime.dataType match {
       case LongType | TimestampType | TimestampNTZType =>
-        lT.asInstanceOf[Long] - bT.asInstanceOf[Long] <=
-          fT.asInstanceOf[Long] - lT.asInstanceOf[Long]
+        java.lang.Long.compareUnsigned(
+          lT.asInstanceOf[Long] - bT.asInstanceOf[Long],
+          fT.asInstanceOf[Long] - lT.asInstanceOf[Long]) <= 0
       case IntegerType | DateType =>
         lT.asInstanceOf[Int].toLong - bT.asInstanceOf[Int] <=
           fT.asInstanceOf[Int].toLong - lT.asInstanceOf[Int]

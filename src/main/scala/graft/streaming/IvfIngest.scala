@@ -13,12 +13,23 @@ import graft.operators.Similarity
   * at-least-once — after a crash between the sink's commit (here the
   * manifest rename) and the CHECKPOINT commit, the most recent
   * micro-batch replays. `ivfAppend` absorbs exactly that window: a batch
-  * whose content fingerprint matches the LAST committed batch id is a
-  * no-op (replay idempotence), and a torn append below the manifest is
-  * invisible + retried at O(batch) (the stage-then-commit protocol). So
-  * stream-appended state is effectively exactly-once: SimilaritySpec
-  * pins stream-ingested ≡ one-shot append ≡ union build at the manifest
-  * level, the seventh streaming ≡ batch fact.
+  * whose (row count, content fingerprint) pair matches the LAST
+  * committed batch is a logged no-op (replay idempotence), and a torn
+  * append below the manifest is invisible + retried at O(batch) (the
+  * stage-then-commit protocol). So stream-appended state is effectively
+  * exactly-once: SimilaritySpec pins stream-ingested ≡ one-shot append ≡
+  * union build at the manifest level, the seventh streaming ≡ batch fact.
+  *
+  * File-count bound: each append adds a `batches/<id>/` root, and the
+  * serving probe opens one file per probed cell per root — unbounded
+  * under continuous ingest. When `maxBatches` > 0 the sink folds the
+  * committed batches back to ONE root via [[Similarity.ivfCompact]]
+  * whenever the count exceeds it, capping serving at base + compacted +
+  * at-most-maxBatches roots forever. Compaction is manifest-neutral
+  * except for the batch list (fingerprint arithmetic is additive), and
+  * replay detection keys on manifest fields that SURVIVE it — a crash
+  * between a compact and the checkpoint commit still replays into a
+  * no-op (SimilaritySpec pins it).
   *
   * The SINGLE-WRITER contract carries over: one ingest query per index
   * (micro-batches of one query are already serial). */
@@ -28,17 +39,37 @@ object IvfIngest {
     * chunked file feed (one micro-batch per chunk, arrival-ordered by
     * `orderCol` ranges) until the feed is exhausted. Production swaps
     * the feed for its real landing-zone `readStream` and runs unbounded
-    * with `trigger(...)`; the sink line is identical. */
+    * with `trigger(...)`; the sink line is identical.
+    *
+    * `freshCheckpoint` — CHECKPOINT LIFECYCLE CONTRACT. `true` (the
+    * harness default) WIPES the checkpoint before starting, which is
+    * correct ONLY here because the chunked feed's live dir was itself
+    * just wiped: a stale checkpoint would reference vanished source
+    * files. In a REAL pipeline (durable landing zone, long-lived index)
+    * wiping the checkpoint is a data-corruption footgun, not a
+    * data-loss-safety feature: the restarted query re-reads the entire
+    * landing zone, and every batch beyond the replay-detection window
+    * (only the LAST committed batch is recognized) re-appends — the
+    * multiplicity-sensitive manifest then fails `ivfValid` closed into a
+    * full rebuild. Production passes `false`: the retained checkpoint
+    * resumes exactly after the last committed micro-batch, which with
+    * the sink's replay idempotence is the exactly-once contract
+    * (IvfIngestSpec pins that a reused checkpoint RESUMES — zero new
+    * appends on a re-run over an already-drained feed). */
   def ingestChunked(arriving: DataFrame, orderCol: String, indexDir: String,
-                    stagingDir: String, nChunks: Int = 3): Unit = {
+                    stagingDir: String, nChunks: Int = 3,
+                    maxBatches: Int = 0,
+                    freshCheckpoint: Boolean = true): Unit = {
     val feed = WeatherStream.chunkedFileFeedDF(arriving, orderCol, stagingDir, nChunks)
-    // fresh checkpoint per construction: the feed's live dir was just
-    // wiped, so a stale checkpoint would reference vanished source files
     val ckpt = new java.io.File(stagingDir, "ivf_ckpt")
-    rmTree(ckpt)
+    if (freshCheckpoint) rmTree(ckpt)
     val q = feed.df.writeStream
-      .foreachBatch((b: Dataset[Row], _: Long) =>
-        Similarity.ivfAppend(b.toDF(), indexDir))
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        Similarity.ivfAppend(b.toDF(), indexDir)
+        if (maxBatches > 0 && Similarity.readManifest(indexDir)
+            .exists(_.batches.size > maxBatches))
+          Similarity.ivfCompact(b.sparkSession, indexDir)
+      }
       .option("checkpointLocation", ckpt.getAbsolutePath)
       .start()
     try WeatherStream.runChunked(q, Seq(feed))

@@ -148,6 +148,30 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(bounded.isNullAt(0))
   }
 
+  test("joinNearest rejects a non-measurable time column upfront, naming the API") {
+    import spark.implicits._
+    val l = Seq((1L, "a")).toDF("k", "t")
+    val r = Seq((1L, "b")).toDF("k", "t")
+    val e = intercept[IllegalArgumentException](Asof.joinNearest(l, r, "k", "t"))
+    assert(e.getMessage.contains("joinNearest") && e.getMessage.contains("STRING"),
+      e.getMessage)
+    // backward/forward only need an ordering: strings stay legal there
+    assert(Asof.join(l, r, "k", "t").count() === 1L)
+  }
+
+  test("nearest tie-break survives extreme long-time spans (gap > Long.MaxValue)") {
+    import spark.implicits._
+    // left at 10; backward candidate near Long.MinValue (gap 2^63 + 5 >
+    // Long.MaxValue — wraps NEGATIVE under raw signed subtraction, which
+    // would steal the pick from the forward match only 90 away), forward
+    // at 100
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, Long.MinValue + 5L, "behind"), (1L, 100L, "ahead"))
+      .toDF("k", "t", "tag")
+    val got = Asof.joinNearest(l, r, "k", "t").select("r_tag").head().getString(0)
+    assert(got === "ahead", s"overflow flipped the nearest pick: got $got")
+  }
+
   test("plan shape: one exchange+sort per side, no blow-up operators") {
     val events = Tables.events(spark, SF)
     val l = events.filter(col("event_type") === "purchase")

@@ -342,6 +342,95 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.readManifest(idxS).get === ms)
   }
 
+  test("ivfCompact folds committed batches into one root: serving identical, manifest preserved") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_cmp_").toFile.getAbsolutePath
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.ivfBuild(base, idx, nlist = 16)
+    // three separate appends -> three batch roots
+    Seq(0, 10, 20).foreach(r =>
+      Similarity.ivfAppend(emb.filter(col("vec_id") % 30 === r), idx))
+    val m0 = Similarity.readManifest(idx).get
+    assert(m0.batches.size === 3 && m0.seq === 3L)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val pf0 = pairs(Similarity.ivfProbe(spark, idx, queries, 5, nprobe = 2))
+    val pi0 = pairs(Similarity.ivfProbeI8(spark, idx, queries, 5, nprobe = 2))
+
+    Similarity.ivfCompact(spark, idx)
+    val m1 = Similarity.readManifest(idx).get
+    // ONLY the batch list changes: rows/fingerprint/appendedRows/seq/
+    // lastRows/lastFp all survive (fingerprint-neutral by construction)
+    assert(m1.batches.size === 1)
+    assert(m1.copy(batches = Nil) === m0.copy(batches = Nil))
+    // superseded batch dirs are swept; exactly the folded root remains
+    assert(new java.io.File(s"$idx/batches").listFiles().map(_.getName).toSeq
+      === Seq(m1.batches.head))
+    // both serving tiers read IDENTICAL results through the folded root
+    assert(pairs(Similarity.ivfProbe(spark, idx, queries, 5, nprobe = 2)) === pf0)
+    assert(pairs(Similarity.ivfProbeI8(spark, idx, queries, 5, nprobe = 2)) === pi0)
+    // the union frame still validates (fresh frame bypasses the memo)
+    assert(Similarity.ivfValid(emb.filter(lit(true)), idx, nlist = 16))
+    // replay detection SURVIVES the compact: re-appending the last
+    // pre-compaction batch is still a no-op
+    Similarity.ivfAppend(emb.filter(col("vec_id") % 30 === 20), idx)
+    assert(Similarity.readManifest(idx).get === m1)
+    // a second compact is a no-op (nothing to fold)
+    Similarity.ivfCompact(spark, idx)
+    assert(Similarity.readManifest(idx).get === m1)
+    // and a genuinely NEW batch appends normally afterwards, with a seq
+    // that never collides across the compaction
+    val baseRows = emb.filter(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = baseRows.map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.01f; (id + 10000L, w.toSeq)
+    }
+    Similarity.ivfAppend(planted.toSeq.toDF("vec_id", "embedding"), idx)
+    val m2 = Similarity.readManifest(idx).get
+    assert(m2.batches.size === 2 && m2.seq === 4L)
+    assert(m2.rows === m1.rows + planted.length)
+    val got = Similarity.ivfProbe(spark, idx,
+        planted.toSeq.toDF("vec_id", "embedding"), 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(baseRows.count { case (id, _) => got.get(id + 10000L).contains(id) }
+      === baseRows.length)
+  }
+
+  test("streaming ingest with compaction serves identically; a reused checkpoint resumes") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toFile.getAbsolutePath
+    // maxBatches = 1: every micro-batch beyond the first triggers a fold,
+    // so the stream-grown index stays at <= 2 batch roots forever
+    val idxC = tmp("ivf_cstream_")
+    Similarity.ivfBuild(base, idxC, nlist = 16)
+    val feedDir = tmp("ivf_cfeed_")
+    graft.streaming.IvfIngest.ingestChunked(batch, "vec_id", idxC, feedDir,
+      maxBatches = 1)
+    val mc = Similarity.readManifest(idxC).get
+    assert(mc.batches.size === 1, s"stream batches not folded: ${mc.batches}")
+    assert(mc.appendedRows === batch.count())
+    assert(mc.seq >= 2, "compaction must not hide that multiple appends committed")
+    // ≡ one-shot append: same corpus identity, same served results
+    val idxA = tmp("ivf_coneshot_")
+    Similarity.ivfBuild(base, idxA, nlist = 16)
+    Similarity.ivfAppend(batch, idxA)
+    val ma = Similarity.readManifest(idxA).get
+    assert((mc.rows, mc.fingerprint, mc.dim) === (ma.rows, ma.fingerprint, ma.dim))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def pairs(idx: String) = Similarity.ivfProbe(spark, idx, queries, 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pairs(idxC) === pairs(idxA))
+    assert(Similarity.ivfValid(emb, idxC, nlist = 16))
+    // REUSED CHECKPOINT RESUMES, NOT RE-INGESTS: a second run over the
+    // already-drained feed with freshCheckpoint = false sees every chunk
+    // file as committed in the retained checkpoint and appends NOTHING
+    graft.streaming.IvfIngest.ingestChunked(batch, "vec_id", idxC, feedDir,
+      maxBatches = 1, freshCheckpoint = false)
+    assert(Similarity.readManifest(idxC).get === mc)
+  }
+
   test("a torn ivfAppend is invisible to readers and a retry recovers at O(batch)") {
     val idx = java.nio.file.Files.createTempDirectory("ivf_torn_").toFile.getAbsolutePath
     val base = emb.filter(col("vec_id") % 10 =!= 0)
