@@ -71,7 +71,7 @@ object DedupQueries {
     * registered spellings are result-identical by construction (the bloom
     * pass only PRUNES the exact join's probe side; false positives are
     * removed by the join, and a bloom has no false negatives). */
-  private val decontamSql =
+  private[operators] val decontamSql =
     """WITH w AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
       |  FROM documents),

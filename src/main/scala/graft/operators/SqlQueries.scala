@@ -215,5 +215,67 @@ object SqlQueries {
             |ORDER BY vec_id, t""".stripMargin)
       },
       None),
+
+    // Benchmark decontamination in PURE SQL TEXT — the dedup/decontam
+    // family's SQL surface, proving what sql_emb_assign proved for
+    // embeddings: a spark.sql caller gets the same plan shape as the
+    // Scala Dedup.decontaminateBloom path from the injected functions
+    // alone. shingle_hash (the native codegen'd shingler — no per-shingle
+    // string materialization) shingles both sides; the serialized Bloom
+    // filter over the benchmark's shingle hashes rides as a base64
+    // literal into bloom_might_contain_long, pre-filtering the corpus
+    // side of the exact equi-join that removes the bloom's false
+    // positives (no false negatives, so the result is bit-identical to
+    // docs_decontam — all three spellings share ONE DuckDB oracle). The
+    // filter bytes are built once per serving batch driver-side from the
+    // SAME shingle hashes the SQL computes (Dedup.shingleHashes IS the
+    // shingle_hash expression); the literal spelling is the
+    // SQL-generator regime (filters to ~tens of MB — the GB-scale
+    // regime stays on the Scala API, which ships bytes as a plan
+    // reference object).
+    Q("sql_decontam",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        docs.createOrReplaceTempView("graft_documents")
+        val bench = Dedup.shingleHashes(
+            docs.filter(org.apache.spark.sql.functions.col("doc_id") % 23 === 0),
+            "doc_id", "text", k = 3)
+          .select("s").distinct().localCheckpoint(false)
+        val benchN = bench.count() // materializes the checkpoint (one job)
+        val bf = bench.stat.bloomFilter("s", math.max(benchN, 1L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+        s.sql(
+          s"""WITH w AS (
+             |  SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS words
+             |  FROM graft_documents),
+             |sh AS (
+             |  SELECT doc_id, s
+             |  FROM (SELECT doc_id, words FROM w WHERE size(words) >= 3)
+             |  LATERAL VIEW explode(array_distinct(shingle_hash(words, 3))) AS s),
+             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0),
+             |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 23 <> 0),
+             |cand AS (SELECT doc_id, s FROM corp
+             |         WHERE bloom_might_contain_long(s, '$b64')),
+             |hits AS (SELECT c.doc_id, count(*) AS n_hits
+             |         FROM cand c JOIN bench USING (s) GROUP BY 1),
+             |per AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1)
+             |SELECT d.doc_id,
+             |  coalesce(n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+             |  coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+             |  round(CASE WHEN coalesce(n_shingles, CAST(0 AS BIGINT)) = 0 THEN 0.0D
+             |             ELSE CAST(coalesce(n_hits, CAST(0 AS BIGINT)) AS DOUBLE)
+             |                    / n_shingles END * 1e6) / 1e6
+             |    AS contam_frac,
+             |  CAST(CASE WHEN coalesce(n_shingles, CAST(0 AS BIGINT)) > 0
+             |             AND CAST(coalesce(n_hits, CAST(0 AS BIGINT)) AS DOUBLE)
+             |                   / n_shingles >= 0.5
+             |        THEN 1 ELSE 0 END AS INT) AS contaminated
+             |FROM (SELECT doc_id FROM graft_documents WHERE doc_id % 23 <> 0) d
+             |LEFT JOIN per USING (doc_id) LEFT JOIN hits USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
+      },
+      Some(DedupQueries.decontamSql)),
   )
 }

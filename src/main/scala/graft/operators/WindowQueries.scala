@@ -401,6 +401,51 @@ object WindowQueries {
               |      FROM events GROUP BY 1) d USING (event_type)
               |ORDER BY e.event_id""".stripMargin)),
 
+    // STREAM-STATIC TEMPORAL (as-of) enrichment: each arriving purchase
+    // picks up the LATEST click at or before ITS OWN event time from a
+    // published static click snapshot — the temporal variant of
+    // join_stream_static, and the reference's own "latest reading at or
+    // before now" semantics (MetOffice_WOW_Connect.txt:210-216)
+    // generalized to a stream. Spelled as a documented PER-MICRO-BATCH
+    // Asof.join inside foreachBatch: the merge as-of is a batch operator
+    // (one shuffle+sort per side, O(1) merge state — AsofJoinPlan), and
+    // against a COMPLETE static right side it distributes over any left
+    // partition — asof(left subset, right) is exactly the matching
+    // subset of asof(left, right) — so the union over micro-batches
+    // equals the batch join REGARDLESS of how the stream is chunked.
+    // Replay-idempotent (each micro-batch overwrites its own batch=<id>
+    // output dir). The EIGHTH streaming ≡ batch fact: shares
+    // join_asof_custom's DuckDB ASOF JOIN oracle verbatim.
+    StreamQ("join_asof_stream",
+      (s, dir) => {
+        import graft.streaming.WeatherStream
+        val events = Tables.events(s, dir)
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        // the dim snapshot: one row per (user, ts) with an explicit
+        // keeper (max click_id), computed ONCE and reused per micro-batch
+        val clicks = events.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts")
+          .agg(max(col("event_id")).as("click_id"))
+          .localCheckpoint(true)
+        val input = WeatherStream.chunkedFileFeedDF(purchases, "ts",
+          WeatherStream.stagingDir("asof_stream", dir))
+        WeatherStream.drainForeachBatch(input.df, "join_asof_stream",
+          b => Asof.join(b, clicks, "user_id", "ts")
+            .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"),
+              col("r_click_id").as("click_id")),
+          input)
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, c.click_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+             |                FROM events WHERE event_type = 'click'
+             |                GROUP BY 1, 2) c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Running top-k per key over a STREAM (mapGroupsWithState, state =
     // the same bounded TopKAggregator buffer batch ranking uses — O(k)
     // per key forever, no watermark needed: all-history top-k is

@@ -344,6 +344,38 @@ object WeatherStream {
     readParquetSink(s, base)
   }
 
+  /** Run a streaming frame through a FOREACHBATCH sink that applies
+    * `perBatch` — a BATCH transformation, e.g. a batch-only custom
+    * operator like the merge as-of join — to each micro-batch, landing
+    * every batch's result under its own `batch=<id>` directory, and read
+    * the union back. Writing each micro-batch into ITS OWN directory
+    * with OVERWRITE is the replay-idempotence contract foreachBatch
+    * needs on plain parquet: foreachBatch is at-least-once, and a
+    * replayed micro-batch (same id) rewrites its own directory instead
+    * of appending a duplicate — the standard production spelling for
+    * foreachBatch outputs that cannot go through the file sink's
+    * metadata log. */
+  def drainForeachBatch(df: DataFrame, name: String,
+                        perBatch: DataFrame => DataFrame,
+                        feeds: ChunkedFeed*): DataFrame = {
+    val s = df.sparkSession
+    val base = new java.io.File(tmpRoot(s), s"sink_$name")
+    wipe(base)
+    val out = new java.io.File(base, "out")
+    val q = df.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        perBatch(b.toDF()).write.mode("overwrite")
+          .parquet(new java.io.File(out, s"batch=$id").getAbsolutePath)
+        ()
+      }
+      .option("checkpointLocation", new java.io.File(base, "ckpt").getAbsolutePath)
+      .start()
+    try runChunked(q, feeds) finally q.stop()
+    // partition inference turns batch=<id> into a column; it is harness
+    // bookkeeping, not part of the result
+    s.read.parquet(out.getAbsolutePath).drop("batch")
+  }
+
   /** Streaming state-partition count sized to the staged feed volume.
     * A small fixed count (4) wins at bench scale — tiny per-key state
     * pays more task-launch and checkpoint-file overhead than parallelism
