@@ -71,7 +71,11 @@ object IvfAppendBench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length == 2) return drift(args(0), args(1).toInt)
+    if (args.length == 2) return drift(args(0), args(1).toInt, None)
+    if (args.length == 4 && args(2) == "shift")
+      return drift(args(0), args(1).toInt, Some(args(3).toDouble))
+    if (args.length == 3 && args(2) == "compact")
+      return compact(args(0), args(1).toInt)
     val Array(dir) = args
     val spark = session()
 
@@ -106,30 +110,64 @@ object IvfAppendBench {
     spark.stop()
   }
 
-  /** Drift mode — see the object scaladoc. */
-  private def drift(dir: String, installments: Int): Unit = {
+  /** Drift mode — see the object scaladoc. SHIFT variant
+    * (`<dir> <N> shift <frac>`): the appended (even-id) half is moved
+    * OFF-DISTRIBUTION before staging — a uniform offset of
+    * `frac · mean-norm` along the all-ones direction — so every
+    * installment lands in a region the (odd-half-fitted, never-refit)
+    * codebook has no centroids for. The queries (even ids, % 50 = 0) and
+    * their planted near-copies shift together, so the near-dup metric
+    * measures recall IN the shifted region: this is the curve that
+    * actually degrades, the measured basis for the "rebuild on
+    * distribution shift" clause of the ivfAppend contract (the
+    * same-distribution curve is flat at 1.000 — it validates the
+    * mechanism, not the alert). The closing full rebuild refits
+    * centroids over the union INCLUDING the shifted region — its recall
+    * is the ceiling a scheduled re-ivfBuild recovers. */
+  private def drift(dir: String, installments: Int,
+                    shiftFrac: Option[Double]): Unit = {
     val spark = session()
     val raw = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val queries = raw.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+    val baseQueries = raw.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
     // KnnScaleBench's planting, verbatim: copy j of query q is a
     // deterministic columnar perturbation (cos ≈ 1) at id q + j·10⁸ —
     // EVEN ids, so every true neighbor arrives through the appends
     val dim = 64
     val planted = (1 to 5).map { j =>
-      queries.select(
+      baseQueries.select(
         (col("vec_id") + j * 100000000L).as("vec_id"),
         expr(s"""transform(embedding, (x, i) ->
                 |  x + 0.01d * $j * element_at(embedding, CAST((i + 1) % $dim AS INT) + 1))"""
           .stripMargin).as("embedding"))
     }.reduce(_ union _)
+    // the shift offset per coordinate: frac · mean-norm / √dim, so the
+    // total displacement is frac × the corpus's own scale (deterministic
+    // — derived from the data, not an RNG)
+    val deltaPerDim = shiftFrac.map { frac =>
+      val meanNorm = raw.agg(avg(sqrt(
+        graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")))))
+        .head().getDouble(0)
+      frac * meanNorm / math.sqrt(dim.toDouble)
+    }
+    def shifted(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      deltaPerDim match {
+        case Some(d) => df.withColumn("embedding",
+          when(col("vec_id") % 2 === 0,
+            expr(s"transform(embedding, x -> x + ${d}d)"))
+            .otherwise(col("embedding")))
+        case None => df
+      }
     // stage to parquet so every step (appends, exact scans, probes)
     // reads storage, like a serving deployment (the KnnScaleBench rule)
     val staged = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_${spark.sparkContext.applicationId}/drift_corpus_${dir.hashCode.toHexString}")
-    raw.union(planted).write.mode("overwrite").parquet(staged.getAbsolutePath)
+    shifted(raw.union(planted)).write.mode("overwrite").parquet(staged.getAbsolutePath)
     val e = spark.read.parquet(staged.getAbsolutePath)
+    // queries come FROM THE STAGED CORPUS: in shift mode they carry the
+    // shift, so recall is measured where the appended data actually lives
+    val queries = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
     val n = e.count()
     val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
     val base = e.filter(col("vec_id") % 2 === 1) // odd half pre-indexed
@@ -180,11 +218,71 @@ object IvfAppendBench {
     val (recRebuilt, recPRebuilt) = recallVsExact(idxR, e)
     rmTree(new java.io.File(idx)); rmTree(new java.io.File(idxR)); rmTree(staged)
 
-    println(s"""{"ivf_drift":{"dir":"$dir","corpus":$n,"nlist":$nlist,""" +
+    val shiftJson = shiftFrac.map(f => s""""shift_frac":${fmt(f, 2)},""").getOrElse("")
+    println(s"""{"ivf_drift":{"dir":"$dir","corpus":$n,"nlist":$nlist,$shiftJson""" +
       s""""installments":$installments,"build_half_sec":${fmt(tBuild)},""" +
       s""""steps":[${steps.mkString(",")}],""" +
       s""""rebuild_sec":${fmt(tRebuild)},"rebuilt_recall_at5":${fmt(recRebuilt, 3)},""" +
       s""""rebuilt_neardup_recall_at5":${fmt(recPRebuilt, 3)}}}""")
+    spark.stop()
+  }
+
+  /** COMPACT mode (`<dir> <B> compact`): the continuous-ingest file-count
+    * question — build on 90%, append the remaining 10% in B hash-bucketed
+    * installments (B batch roots, each ≤ 1 file per touched cell per
+    * artifact), then measure the serving probe and the index's data-file
+    * count BEFORE and AFTER [[graft.operators.Similarity.ivfCompact]],
+    * asserting the probe's (q, rank, neighbor) set is IDENTICAL across
+    * the fold. Committed numbers live in COMPACT.md. */
+  private def compact(dir: String, batches: Int): Unit = {
+    val spark = session()
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val arriving = e.filter(col("vec_id") % 10 === 0)
+    val queries = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+    val idx = operators.Similarity.ivfIndexDir(spark, s"$dir#compactbench")
+    val tBuild = time(operators.Similarity.ivfBuild(base, idx, nlist))
+    val bucket = pmod(xxhash64(col("vec_id")), lit(batches))
+    val tAppend = time((0 until batches).foreach(i =>
+      operators.Similarity.ivfAppend(arriving.filter(bucket === i), idx)))
+
+    def dataFiles(): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-")) 1L
+        else 0L
+      walk(new java.io.File(idx))
+    }
+    def probe() = operators.Similarity
+      .ivfProbe(spark, idx, queries, K, nprobe = 4)
+      .select("q_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def probeWall(): Double = {
+      probe() // warm (codebook/filesystem caches), like a serving steady state
+      (1 to 3).map(_ => time(probe())).min
+    }
+
+    val filesBefore = dataFiles()
+    val wallBefore = probeWall()
+    val pairsBefore = probe()
+    val tCompact = time(operators.Similarity.ivfCompact(spark, idx))
+    val filesAfter = dataFiles()
+    val wallAfter = probeWall()
+    require(probe() == pairsBefore, "compact changed probe results")
+    val m = operators.Similarity.readManifest(idx).get
+    require(m.batches.size == 1 && m.appendedRows == arriving.count(),
+      s"unexpected post-compact manifest: $m")
+    rmTree(new java.io.File(idx))
+
+    println(s"""{"ivf_compact":{"dir":"$dir","corpus":$n,"nlist":$nlist,""" +
+      s""""batches":$batches,"build90_sec":${fmt(tBuild)},""" +
+      s""""append_total_sec":${fmt(tAppend)},"compact_sec":${fmt(tCompact)},""" +
+      s""""files_before":$filesBefore,"files_after":$filesAfter,""" +
+      s""""probe_wall_before_sec":${fmt(wallBefore, 2)},""" +
+      s""""probe_wall_after_sec":${fmt(wallAfter, 2)},"probe_identical":true}}""")
     spark.stop()
   }
 }
