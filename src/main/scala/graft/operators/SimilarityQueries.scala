@@ -157,6 +157,32 @@ object SimilarityQueries {
       },
       None),
 
+    // COMPACTION of the appended index: the same 90/10 split as
+    // sim_knn_ivf_append, but the arriving 10% lands as THREE separate
+    // appends (three batch roots — the continuous-ingest file-count
+    // problem in miniature) and ivfCompact folds them back to ONE root
+    // before serving. Compaction is fingerprint-neutral (manifest
+    // unchanged except the batch list), so ivfValid(union) still gates
+    // rebuilds and session re-runs go probe-only; probe results are
+    // pinned IDENTICAL across the fold (SimilaritySpec), and COMPACT.md
+    // carries the measured file-count / probe-wall deltas at the 2×10⁶
+    // decade. Sketch family → rows-only check.
+    Q("sim_knn_ivf_compact",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val idx = Similarity.ivfIndexDir(s, dir + "#compact")
+        if (!Similarity.ivfValid(e, idx, nlist = 16)) {
+          Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
+          Seq(0, 10, 20).foreach(r =>
+            Similarity.ivfAppend(e.filter(col("vec_id") % 30 === r), idx))
+          Similarity.ivfCompact(s, idx)
+        }
+        Similarity.ivfProbe(s, idx, e.filter(col("vec_id") % 50 === 0), K, nprobe = 2)
+          .select(col("q_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Approximate top-k via multi-table hyperplane LSH (8 tables × 8 bits).
     Q("sim_knn_lsh",
       (s, dir) => {
