@@ -212,16 +212,36 @@ object IvfAppendBench {
       System.err.println(s"# step $i/$installments: appended_frac=${fmt(frac, 3)} recall=${fmt(rec, 3)} neardup=${fmt(recP, 3)}")
       s"""{"i":$i,"appended_frac":${fmt(frac, 3)},"append_sec":${fmt(tApp)},"recall_at5":${fmt(rec, 3)},"neardup_recall_at5":${fmt(recP, 3)}}"""
     }
+    // PRUNING-ECONOMICS metric: cell-occupancy concentration of the
+    // APPENDED rows under the never-refit codebook vs the same rows
+    // under the refit (rebuild) codebook. Off-distribution appends cram
+    // into the few cells nearest the shifted region — recall survives
+    // (near-identical vectors co-assign under ANY codebook), but every
+    // probe touching the region scans a bloated candidate set, which is
+    // the cost a shift-triggered rebuild actually recovers.
+    def occupancy(ix: String): (Long, Double) = {
+      val assigned = operators.Similarity.ivfCells(spark, ix)
+        .filter(col("id") % 2 === 0)
+        .groupBy("cell").count().orderBy(desc("count"))
+        .select("count").collect().map(_.getLong(0))
+      val total = assigned.sum.toDouble
+      (assigned.length.toLong,
+        if (total == 0) 0.0 else assigned.take(20).sum / total)
+    }
+    val (cellsApp, top20App) = occupancy(idx)
     // refit ceiling: a from-scratch build over the final corpus
     val idxR = operators.Similarity.ivfIndexDir(spark, s"$dir#driftrebuild")
     val tRebuild = time(operators.Similarity.ivfBuild(e, idxR, nlist))
     val (recRebuilt, recPRebuilt) = recallVsExact(idxR, e)
+    val (cellsReb, top20Reb) = occupancy(idxR)
     rmTree(new java.io.File(idx)); rmTree(new java.io.File(idxR)); rmTree(staged)
 
     val shiftJson = shiftFrac.map(f => s""""shift_frac":${fmt(f, 2)},""").getOrElse("")
     println(s"""{"ivf_drift":{"dir":"$dir","corpus":$n,"nlist":$nlist,$shiftJson""" +
       s""""installments":$installments,"build_half_sec":${fmt(tBuild)},""" +
       s""""steps":[${steps.mkString(",")}],""" +
+      s""""appended_cells":$cellsApp,"appended_top20_share":${fmt(top20App, 3)},""" +
+      s""""rebuilt_appended_cells":$cellsReb,"rebuilt_top20_share":${fmt(top20Reb, 3)},""" +
       s""""rebuild_sec":${fmt(tRebuild)},"rebuilt_recall_at5":${fmt(recRebuilt, 3)},""" +
       s""""rebuilt_neardup_recall_at5":${fmt(recPRebuilt, 3)}}}""")
     spark.stop()

@@ -523,10 +523,18 @@ object Similarity {
     * appended fraction of 0.5 on same-distribution ingest, near-dup
     * recall@5 stays 1.000 at every installment and equals the
     * full-rebuild ceiling — cells get less tight, never wrong (the cell
-    * is a blocking key; the probe ranks exactly). The manifest's
-    * `appendedRows` fraction ([[ivfAppendedFraction]]) is the alert
-    * signal; the deployment contract is a re-[[ivfBuild]] on
-    * distribution SHIFT or for file compaction, not on fraction alone.
+    * is a blocking key; the probe ranks exactly). The DISTRIBUTION-SHIFT
+    * case is measured too (shift mode, RECALL.md): a full mean-norm of
+    * shift still leaves near-dup recall at 1.000 (a query and its
+    * near-duplicate co-assign under ANY fixed codebook), but crams the
+    * appended mass into few cells — top-20-cell share 53.6% vs 2.7%
+    * stationary at the 2×10⁶ decade — so the nprobe/nlist scan-fraction
+    * guarantee, not recall, is what decays; the refit restores it
+    * (4.3%). The manifest's `appendedRows` fraction
+    * ([[ivfAppendedFraction]]) is the alert signal; the deployment
+    * contract is [[ivfCompact]] for file-count growth and a
+    * re-[[ivfBuild]] on distribution shift (for probe cost), not a
+    * rebuild on fraction alone.
     *
     * The manifest update is ADDITIVE BY CONSTRUCTION: [[corpusStats]]'
     * fingerprint is a wraparound SUM of per-row hashes, so
