@@ -4,7 +4,7 @@
 # /root/repo with code FROZEN at the commit being certified.
 set -o pipefail
 cd /root/repo
-REG=126   # registry size; dump dirs must hold REG+1 entries
+REG=127   # registry size; dump dirs must hold REG+1 entries
 step() { echo "=== $(date +%H:%M:%S) $1 ==="; }
 
 step "gate: verify + compare @ sf0.01"
