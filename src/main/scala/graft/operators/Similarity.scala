@@ -172,24 +172,44 @@ object Similarity {
     * per-query computation however large nlist grows (no giant literal
     * expressions; at nlist = √n this stays a few MB at any corpus size).
     *
-    * MATERIALIZED (eager localCheckpoint, ≤ nprobe·|queries| rows) so the
-    * two consumers — the driver-side [[probedCellSet]] collect and the
-    * broadcast join input — read the SAME computed probe set. Without
-    * it, each consumer recomputed this plan, and a caller whose queries
-    * frame is non-deterministic (sample/rand/uuid upstream) could have
-    * the static IN filter prune cells the join-side recomputation
-    * assigns — silently dropping true candidates. */
+    * The two consumers — the driver-side [[probedCellSet]] collect and
+    * the broadcast join input — must read the SAME computed probe set: a
+    * queries frame that is non-deterministic (sample/rand/uuid upstream)
+    * could otherwise have the static IN filter prune cells the
+    * join-side recomputation assigns — silently dropping true
+    * candidates. A DETERMINISTIC plan (every registered query; any
+    * plain read+filter) recomputes identically by definition, so the
+    * common case pays NO materialization job; only a non-deterministic
+    * queries plan is pinned, via a LAZY localCheckpoint whose
+    * materializing action is the [[probedCellSet]] collect itself (one
+    * job, not checkpoint-then-collect's two). Caveat inherited from
+    * localCheckpoint (same as [[ivfBuild]]'s): checkpoint blocks die
+    * with their executor, so on a real cluster an executor loss
+    * mid-probe fails that serving query instead of recomputing — the
+    * price of pinning a plan that CANNOT be recomputed consistently;
+    * deterministic callers are unaffected. */
   private def probeCells(queries: DataFrame, codebook: DataFrame,
                          nprobe: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(asc("score"), asc("cell"))
-    queries.crossJoin(broadcast(codebook))
+    val probed = queries.crossJoin(broadcast(codebook))
       .withColumn("score",
         dot(col("ctr"), col("ctr")) - lit(2.0) * dot(col("q_emb").cast("array<double>"), col("ctr")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= nprobe)
       .select("q_id", "q_emb", "cell")
-      .localCheckpoint(true)
+    if (isDeterministic(queries)) probed else probed.localCheckpoint(false)
   }
+
+  /** True iff every expression in the frame's analyzed plan is
+    * deterministic AND no Sample node appears (Sample's output depends
+    * on the physical row-to-partition layout, which Spark does not
+    * promise across recomputations, even seeded). Conservative on the
+    * safe side: a false negative only costs the one pinning checkpoint. */
+  private def isDeterministic(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.find { p =>
+      p.expressions.exists(!_.deterministic) ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sample]
+    }.isEmpty
 
   /** The DISTINCT cells this serving batch probes, collected driver-side
     * for a STATIC partition filter on the cell scans. Bounded by
@@ -199,9 +219,10 @@ object Similarity {
     * branch (an appended index reads a UNION of per-batch roots, where
     * runtime dynamic partition pruning does not reach — and even on a
     * single root DPP is heuristic where this is guaranteed). Costs one
-    * tiny extra job over the MATERIALIZED probe frame per serving batch
-    * (see [[probeCells]] — collect and join read the same checkpoint, so
-    * the set can never diverge from what the join sees). */
+    * tiny extra job over the probe frame per serving batch (see
+    * [[probeCells]] — a deterministic probe plan recomputes identically
+    * for the join; a non-deterministic one is checkpoint-pinned — either
+    * way the set never diverges from what the join sees). */
   private def probedCellSet(probed: DataFrame): Seq[Int] =
     probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
 
@@ -709,12 +730,36 @@ object Similarity {
     * the folded cells are written under `_staging/<compactId>/`, promoted
     * to `batches/<compactId>/` (invisible — unlisted), and published by
     * the one atomic manifest replace. A crash anywhere before that
-    * leaves the old manifest serving the old (correct) batch list; a
-    * crash after it leaves the folded dirs live and the superseded batch
-    * dirs as unlisted orphans, swept by the post-commit cleanup of the
-    * NEXT compact or rebuild. The compact id is deterministic from the
-    * manifest state (seq + appended rows + index fingerprint), so a
-    * retry overwrites its own torn leftovers.
+    * leaves the old manifest serving the old (correct) batch list. The
+    * compact id is deterministic from the manifest state (seq + appended
+    * rows + index fingerprint), so a retry overwrites its own torn
+    * leftovers.
+    *
+    * READER GRACE PERIOD — the sweep is DEFERRED one compaction cycle:
+    * the batch dirs this fold supersedes are NOT deleted at commit; the
+    * post-commit sweep removes only dirs that are neither the new fold
+    * nor its inputs — i.e. the PREVIOUS fold's inputs (plus any
+    * crash-after-commit orphans). A concurrent probe that planned its
+    * union scan against the pre-compact manifest ([[ivfCells]] resolves
+    * roots at plan time) therefore keeps every file it planned until the
+    * NEXT compact commits — an entire ingest-loop compaction interval —
+    * instead of failing mid-query with FileNotFoundException the moment
+    * the fold lands. Compaction is the ONLY steady-state delete
+    * ([[ivfAppend]] never removes data), so with the deferral the
+    * continuous-ingest loop ([[graft.streaming.IvfIngest]]) serves probes
+    * concurrently with maintenance; only [[ivfBuild]] (a rare scheduled
+    * rebuild, which clears the whole batch tree) still requires a
+    * serving pause. Disk overhead of the grace: at most one compaction
+    * interval's worth of superseded batch bytes.
+    *
+    * LEGACY MANIFESTS (pre last_* fields, lastRows = 0 with committed
+    * batches): the fold would destroy the batch-id-suffix fallback
+    * replay check — the compact id's suffix encodes the WHOLE-INDEX
+    * fingerprint, not the last batch's — so the replay pair is
+    * BACKFILLED from the last committed batch's own data (one O(batch)
+    * stat pass, subsumed by the fold read) before the fold commits. A
+    * streaming replay straddling the upgrading compact is then caught
+    * exactly like on a current-format manifest.
     *
     * Row-count guard: the staged fold must hold exactly
     * `appendedRows` rows (batches always hold precisely the rows appended
@@ -725,9 +770,18 @@ object Similarity {
     * SINGLE-WRITER, like every `indexDir` mutation. No-op below two
     * committed batches — there is nothing to fold. */
   def ivfCompact(s: SparkSession, indexDir: String): Unit = {
-    val m = readManifest(indexDir).getOrElse(sys.error(
+    val m0 = readManifest(indexDir).getOrElse(sys.error(
       s"ivfCompact: no readable manifest under $indexDir"))
-    if (m.batches.size < 2) return
+    if (m0.batches.size < 2) return
+    // legacy-manifest backfill (see scaladoc): recover the replay pair
+    // from the last committed batch's data before the fold erases the
+    // batch-id-suffix fallback's referent
+    val m =
+      if (m0.lastRows == 0L) {
+        val (lr, lfp, _) = corpusStats(s.read.parquet(
+          s"$indexDir/batches/${m0.batches.last}/cells.parquet"))
+        m0.copy(lastRows = lr, lastFp = lfp)
+      } else m0
     val compactId = f"c${m.seq}%04d_${m.appendedRows}_" +
       java.lang.Long.toHexString(m.fingerprint)
     val staging = s"$indexDir/_staging/$compactId"
@@ -747,10 +801,13 @@ object Similarity {
         "is torn; not committing")
     ivfAppendPromote(indexDir, compactId)
     writeManifest(indexDir, m.copy(batches = Seq(compactId)))
-    // post-commit sweep: the superseded batch dirs (now unlisted), plus
-    // any orphans a previous crash-after-commit left behind
+    // DEFERRED post-commit sweep (reader grace period — see scaladoc):
+    // keep the dirs this fold just superseded (m.batches) for one more
+    // compaction cycle; remove only older unlisted dirs — the previous
+    // fold's inputs plus any crash-after-commit orphans
     Option(new java.io.File(s"$indexDir/batches").listFiles()).foreach(
-      _.filterNot(_.getName == compactId).foreach(rmTree))
+      _.filterNot(f => f.getName == compactId || m.batches.contains(f.getName))
+        .foreach(rmTree))
     log.info(s"ivfCompact: folded ${m.batches.size} batches " +
       s"(${m.appendedRows} rows) into $compactId under $indexDir")
   }

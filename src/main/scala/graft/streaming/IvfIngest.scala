@@ -55,7 +55,18 @@ object IvfIngest {
     * resumes exactly after the last committed micro-batch, which with
     * the sink's replay idempotence is the exactly-once contract
     * (IvfIngestSpec pins that a reused checkpoint RESUMES — zero new
-    * appends on a re-run over an already-drained feed). */
+    * appends on a re-run over an already-drained feed).
+    *
+    * CAVEAT — with THIS chunked harness feed the resume guarantee holds
+    * only within a single JVM/session: the feed caches its staged chunk
+    * bounds per session, so a NEW JVM re-stages the chunks with
+    * `mode(overwrite)` and fresh part- file names, and a retained
+    * checkpoint then sees an all-new source file set and re-ingests
+    * everything (the multiplicity-sensitive manifest fails `ivfValid`
+    * closed into a rebuild — loud, not silent, but not a resume). The
+    * cross-restart exactly-once contract requires the real landing-zone
+    * source, whose files are durable and stable-named across JVMs; the
+    * spec accordingly pins the same-JVM case only. */
   def ingestChunked(arriving: DataFrame, orderCol: String, indexDir: String,
                     stagingDir: String, nChunks: Int = 3,
                     maxBatches: Int = 0,

@@ -357,15 +357,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val pf0 = pairs(Similarity.ivfProbe(spark, idx, queries, 5, nprobe = 2))
     val pi0 = pairs(Similarity.ivfProbeI8(spark, idx, queries, 5, nprobe = 2))
 
+    // a reader that PLANNED against the pre-compact manifest (ivfCells
+    // resolves its union roots at plan time) — must survive the compact
+    val preCompactReader = Similarity.ivfCells(spark, idx)
+
     Similarity.ivfCompact(spark, idx)
     val m1 = Similarity.readManifest(idx).get
     // ONLY the batch list changes: rows/fingerprint/appendedRows/seq/
     // lastRows/lastFp all survive (fingerprint-neutral by construction)
     assert(m1.batches.size === 1)
     assert(m1.copy(batches = Nil) === m0.copy(batches = Nil))
-    // superseded batch dirs are swept; exactly the folded root remains
-    assert(new java.io.File(s"$idx/batches").listFiles().map(_.getName).toSeq
-      === Seq(m1.batches.head))
+    // DEFERRED sweep (reader grace period): the just-superseded batch
+    // dirs remain on disk alongside the fold — they vanish only at the
+    // NEXT compact
+    assert(new java.io.File(s"$idx/batches").listFiles().map(_.getName).toSet
+      === (m0.batches.toSet + m1.batches.head))
+    // ... so the pre-compact reader executes successfully and sees the
+    // exact pre-compact row set (no delete-under-reader)
+    assert(preCompactReader.count() === m0.rows)
     // both serving tiers read IDENTICAL results through the folded root
     assert(pairs(Similarity.ivfProbe(spark, idx, queries, 5, nprobe = 2)) === pf0)
     assert(pairs(Similarity.ivfProbeI8(spark, idx, queries, 5, nprobe = 2)) === pi0)
@@ -394,6 +403,71 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(baseRows.count { case (id, _) => got.get(id + 10000L).contains(id) }
       === baseRows.length)
+    // a SECOND compact sweeps the FIRST fold's inputs (now one full
+    // compaction cycle old) while keeping ITS OWN inputs for the next
+    // grace period — the deferral is exactly one cycle, not unbounded
+    Similarity.ivfCompact(spark, idx)
+    val m3 = Similarity.readManifest(idx).get
+    assert(m3.batches.size === 1)
+    assert(new java.io.File(s"$idx/batches").listFiles().map(_.getName).toSet
+      === (m2.batches.toSet + m3.batches.head))
+    val got2 = Similarity.ivfProbe(spark, idx,
+        planted.toSeq.toDF("vec_id", "embedding"), 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got2 === got)
+  }
+
+  test("ivfCompact backfills the replay pair on a legacy manifest (no last_* fields)") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_leg_").toFile.getAbsolutePath
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    Similarity.ivfBuild(base, idx, nlist = 16)
+    Seq(0, 10, 20).foreach(r =>
+      Similarity.ivfAppend(emb.filter(col("vec_id") % 30 === r), idx))
+    val m = Similarity.readManifest(idx).get
+    assert(m.lastRows > 0L)
+    // rewrite the manifest in the LEGACY shape: no seq/last_* fields
+    // (readManifest then reports lastRows = lastFp = 0, seq = |batches|)
+    val batchesJson = m.batches.map("\"" + _ + "\"").mkString("[", ",", "]")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "manifest.json"),
+      (s"""{"rows":${m.rows},"fingerprint":${m.fingerprint},""" +
+        s""""nlist":${m.nlist},"dim":${m.dim},"fpv":${m.fpv},""" +
+        s""""appended_rows":${m.appendedRows},"batches":$batchesJson}""")
+        .getBytes("UTF-8"))
+    val legacy = Similarity.readManifest(idx).get
+    assert(legacy.lastRows === 0L && legacy.lastFp === 0L)
+    assert(legacy.seq === m.batches.size.toLong)
+
+    Similarity.ivfCompact(spark, idx)
+    val mc = Similarity.readManifest(idx).get
+    // the fold BACKFILLED the replay pair from the last batch's own data
+    assert(mc.batches.size === 1)
+    assert((mc.lastRows, mc.lastFp) === (m.lastRows, m.lastFp))
+    // ... so a streaming replay straddling the upgrading compact is a
+    // no-op, exactly like on a current-format manifest
+    Similarity.ivfAppend(emb.filter(col("vec_id") % 30 === 20), idx)
+    assert(Similarity.readManifest(idx).get === mc)
+    // and the corpus identity is untouched: the union frame validates
+    assert(Similarity.ivfValid(emb.filter(lit(true)), idx, nlist = 16))
+  }
+
+  test("ivfProbe pins a non-deterministic queries frame (collect == join view)") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_nd_").toFile.getAbsolutePath
+    Similarity.ivfBuild(emb, idx, nlist = 16)
+    // rand()-gated queries: without the probeCells pin, the static
+    // cell-set collect and the join side could compute DIFFERENT query
+    // sets and silently drop candidates. Every query must come back
+    // with a full top-k whose rank-1 neighbor the exact path confirms.
+    val nd = emb.filter(col("vec_id") % 50 === 0)
+      .filter(rand(7) >= 0.0) // non-deterministic in the plan, true for all rows
+    val got = Similarity.ivfProbe(spark, idx, nd, 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.knn(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nprobe = nlist probes every cell: the approximate path degenerates
+    // to exact, so the sets must be EQUAL — any pin failure shows up as
+    // missing queries or missing candidates
+    assert(got === exact)
   }
 
   test("streaming ingest with compaction serves identically; a reused checkpoint resumes") {
