@@ -98,6 +98,45 @@ object DedupQueries {
       |WHERE d.doc_id % 23 <> 0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Oracle shared by dedup_incremental and dedup_incremental_stream —
+    * the streaming spelling unions per-micro-batch probes of the SAME
+    * static corpus index, and each output row depends only on its own
+    * batch doc ([[Dedup.probeNearDups]]), so both registered queries are
+    * result-identical to this one batch SQL by construction. */
+  private val incrementalSql =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+      |  FROM w WHERE len(words) >= 3),
+      |cs0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM cs0),
+      |hot AS (
+      |  SELECT shingle FROM cs0 CROSS JOIN nd
+      |  GROUP BY shingle, n_docs
+      |  HAVING count(DISTINCT doc_id) > greatest(0.1 * n_docs, 5)),
+      |cs AS (SELECT * FROM cs0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |bs AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0
+      |       AND shingle NOT IN (SELECT shingle FROM hot)),
+      |szc AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY 1),
+      |szb AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY 1),
+      |p AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS inter
+      |      FROM bs b JOIN cs c ON b.shingle = c.shingle GROUP BY 1, 2),
+      |j AS (
+      |  SELECT bid, cid, inter, sb.n AS n_batch, sc.n AS n_corpus,
+      |         CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) AS jac
+      |  FROM p JOIN szb sb ON sb.doc_id = bid JOIN szc sc ON sc.doc_id = cid
+      |  WHERE CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) >= 0.5),
+      |r AS (
+      |  SELECT bid, cid, inter, n_batch, n_corpus, jac,
+      |         row_number() OVER (PARTITION BY bid ORDER BY jac DESC, cid) AS rn
+      |  FROM j)
+      |SELECT bid AS doc_id, cid AS dup_of, inter, n_batch, n_corpus,
+      |       round(jac * 1e6) / 1e6 AS jaccard
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     // Exact dedup with a deterministic keeper (earliest row per key) — the
     // reproducible spelling of dropDuplicates(keys).
@@ -289,38 +328,35 @@ object DedupQueries {
             col("n_batch"), col("n_corpus"), r6(col("jaccard")).as("jaccard"))
           .orderBy("doc_id")
       },
-      Some("""WITH w AS (
-             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
-             |  FROM documents),
-             |sh0 AS (
-             |  SELECT doc_id, unnest(list_distinct(list_transform(
-             |    range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')))) AS shingle
-             |  FROM w WHERE len(words) >= 3),
-             |cs0 AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
-             |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM cs0),
-             |hot AS (
-             |  SELECT shingle FROM cs0 CROSS JOIN nd
-             |  GROUP BY shingle, n_docs
-             |  HAVING count(DISTINCT doc_id) > greatest(0.1 * n_docs, 5)),
-             |cs AS (SELECT * FROM cs0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-             |bs AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0
-             |       AND shingle NOT IN (SELECT shingle FROM hot)),
-             |szc AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY 1),
-             |szb AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY 1),
-             |p AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS inter
-             |      FROM bs b JOIN cs c ON b.shingle = c.shingle GROUP BY 1, 2),
-             |j AS (
-             |  SELECT bid, cid, inter, sb.n AS n_batch, sc.n AS n_corpus,
-             |         CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) AS jac
-             |  FROM p JOIN szb sb ON sb.doc_id = bid JOIN szc sc ON sc.doc_id = cid
-             |  WHERE CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) >= 0.5),
-             |r AS (
-             |  SELECT bid, cid, inter, n_batch, n_corpus, jac,
-             |         row_number() OVER (PARTITION BY bid ORDER BY jac DESC, cid) AS rn
-             |  FROM j)
-             |SELECT bid AS doc_id, cid AS dup_of, inter, n_batch, n_corpus,
-             |       round(jac * 1e6) / 1e6 AS jaccard
-             |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+      Some(incrementalSql)),
+
+    // STREAMING incremental dedup: the same 90/10 split, but the arriving
+    // 10% lands as a STREAM (chunked feed, one probe per micro-batch)
+    // against the corpus-side NearDupIndex built ONCE before the query
+    // starts — the continuous-ingest spelling of dedup_incremental.
+    // Per-batch-document independence (every output row depends only on
+    // its own doc and the static index — Dedup.probeNearDups) means the
+    // union over micro-batches equals the one-shot batch probe REGARDLESS
+    // of chunking, so this shares dedup_incremental's DuckDB oracle
+    // verbatim: the NINTH streaming ≡ batch fact. Replay-idempotent (each
+    // micro-batch overwrites its own batch=<id> output dir).
+    StreamQ("dedup_incremental_stream",
+      (s, dir) => {
+        import graft.streaming.WeatherStream
+        val docs = Tables.documents(s, dir)
+        val ix = Dedup.nearDupIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        val input = WeatherStream.chunkedFileFeedDF(
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          "doc_id", WeatherStream.stagingDir("dedup_inc_stream", dir))
+        WeatherStream.drainForeachBatch(input.df, "dedup_incremental_stream",
+          b => Dedup.probeNearDups(ix, b, "text")
+            .select(col("doc_id"), col("dup_of"), col("inter"),
+              col("n_batch"), col("n_corpus"), r6(col("jaccard")).as("jaccard")),
+          input)
+          .orderBy("doc_id")
+      },
+      Some(incrementalSql)),
 
     // Embedding-cosine near-dup with the BOUNDED blocking key: label
     // composed with a banded sign-LSH bucket of the vector (4 bands ×

@@ -366,6 +366,61 @@ object Similarity {
     readManifest(indexDir).map(m =>
       if (m.rows == 0) 0.0 else m.appendedRows.toDouble / m.rows)
 
+  /** ONE-ROW health report over a stored index — the operational gauge
+    * the serving tier alerts on. Columns:
+    *  - `rows`/`appended_rows`/`appended_fraction`/`batch_roots`/`nlist`/
+    *    `dim`: straight off the manifest (no data scan);
+    *  - `occupied_cells`, `top_share`: cell-occupancy census of the WHOLE
+    *    index — `top_share` is the fraction of all indexed rows living in
+    *    the `topCells` fullest cells;
+    *  - `appended_occupied_cells`, `appended_top_share`: the same census
+    *    over the APPENDED rows only (batch roots) — zero when nothing was
+    *    appended.
+    *
+    * `appended_top_share` is THE distribution-shift alert, with a
+    * measured basis (RECALL.md shift mode): stationary appends track the
+    * base's spread (top-20 share 2.7% at the 2×10⁶ decade) while a
+    * full-mean-norm shift crams the appended mass into few cells (53.6%;
+    * refit restores 4.3%) — and it is the probe's nprobe/nlist
+    * SCAN-FRACTION guarantee that decays, near-dup recall provably does
+    * not (a query and its near-dup co-assign under any fixed codebook).
+    * So the rebuild cadence keys on occupancy concentration, not on a
+    * recall cliff that cannot happen; [[ivfAppendedFraction]] alone
+    * cannot distinguish benign growth from shift.
+    *
+    * Cost: one partition-column-only scan of the index (`cell` is the
+    * parquet partition key, so the census reads footers, not vectors)
+    * plus driver-trivial aggregation of the ≤ nlist per-cell counts —
+    * an offline health check, safe to run concurrently with serving
+    * (reads go through the manifest like any probe). */
+  def ivfStats(s: SparkSession, indexDir: String, topCells: Int = 20): DataFrame = {
+    import s.implicits._
+    val m = readManifest(indexDir).getOrElse(sys.error(
+      s"ivfStats: no readable manifest under $indexDir"))
+    // (occupied cells, share of `total` rows in the topCells fullest)
+    def census(cells: DataFrame, total: Long): (Long, Double) = {
+      val counts = cells.groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // one index scan feeds both aggregates
+      val occupied = counts.count()
+      val top = counts.orderBy(desc("cnt"), asc("cell")).limit(topCells)
+        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+      (occupied, if (total == 0) 0.0 else top.toDouble / total)
+    }
+    val (occ, topShare) = census(ivfCells(s, indexDir).select("cell"), m.rows)
+    val (aOcc, aTopShare) =
+      if (m.batches.isEmpty) (0L, 0.0)
+      else census(
+        m.batches.map(b => s.read.parquet(s"$indexDir/batches/$b/cells.parquet"))
+          .reduce(_ unionByName _).select("cell"),
+        m.appendedRows)
+    Seq((m.rows, m.appendedRows,
+        if (m.rows == 0) 0.0 else m.appendedRows.toDouble / m.rows,
+        m.batches.size, m.nlist, m.dim, occ, topShare, aOcc, aTopShare))
+      .toDF("rows", "appended_rows", "appended_fraction", "batch_roots",
+        "nlist", "dim", "occupied_cells", "top_share",
+        "appended_occupied_cells", "appended_top_share")
+  }
+
   /** Every root holding cell data for artifact `a` ("cells.parquet" /
     * "cells_i8.parquet"): the base build output plus each COMMITTED
     * append batch. Readers go through this — a batch directory the

@@ -183,6 +183,31 @@ object SimilarityQueries {
       },
       None),
 
+    // INDEX HEALTH GAUGE: the one-row operational report over the stored
+    // appended index — manifest staleness (appended_fraction) PLUS the
+    // cell-occupancy census whose appended_top_share is the measured
+    // distribution-shift alert (RECALL.md shift mode: stationary 2.7%
+    // vs shifted 53.6% top-20 share at the 2×10⁶ decade). The census
+    // scans only the `cell` partition column (footer reads, no vector
+    // bytes), so the gauge is safe to run concurrently with serving.
+    // Same build+append construction as sim_knn_ivf_append under its own
+    // tag. Rows-only check; the census arithmetic and the shift alert
+    // behavior are pinned in SimilaritySpec.
+    Q("sim_ivf_stats",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val idx = Similarity.ivfIndexDir(s, dir + "#stats")
+        if (!Similarity.ivfValid(e, idx, nlist = 16)) {
+          Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
+          Similarity.ivfAppend(e.filter(col("vec_id") % 10 === 0), idx)
+        }
+        // topCells = 2 at nlist = 16 (the default 20 would cover every
+        // cell of this small codebook and report a constant 1.0; a
+        // deployment at nlist = √n keeps the default)
+        Similarity.ivfStats(s, idx, topCells = 2)
+      },
+      None),
+
     // Approximate top-k via multi-table hyperplane LSH (8 tables × 8 bits).
     Q("sim_knn_lsh",
       (s, dir) => {

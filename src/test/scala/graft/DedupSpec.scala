@@ -208,6 +208,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Map(10L -> 1L), s"unexpected incremental verdicts $out")
   }
 
+  test("probeNearDups distributes over batch chunking (the streaming ≡ batch argument)") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val whole = rows(Dedup.incrementalNearDups(corpus, batch, "doc_id", "text"))
+    assert(whole.nonEmpty, "driver corpus should yield incremental near-dups")
+    // the same batch probed in three arbitrary chunks against ONE
+    // prepared index: every output row depends only on its own batch doc
+    // and the static index, so the union must equal the one-shot probe —
+    // exactly what licenses dedup_incremental_stream to share the batch
+    // oracle under any micro-batch chunking
+    val ix = Dedup.nearDupIndex(corpus, "doc_id", "text")
+    val unioned = (0 until 3)
+      .map(i => rows(Dedup.probeNearDups(ix, batch.filter(col("doc_id") % 3 === i), "text")))
+      .reduce(_ ++ _)
+    assert(unioned === whole)
+  }
+
   test("null/empty text degrades totally: no crashes, sane memberships") {
     // The driver corpus has no nulls, so the oracles never exercise
     // them — pin the library contract here: null/short text docs simply

@@ -451,6 +451,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.ivfValid(emb.filter(lit(true)), idx, nlist = 16))
   }
 
+  test("ivfStats census arithmetic and the distribution-shift alert") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_stats_").toFile.getAbsolutePath
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    Similarity.ivfBuild(base, idx, nlist = 16)
+    Similarity.ivfAppend(batch, idx)
+    val r = Similarity.ivfStats(spark, idx, topCells = 1).head()
+    assert(r.getLong(0) === emb.count())                       // rows
+    assert(r.getLong(1) === batch.count())                     // appended_rows
+    assert(math.abs(r.getDouble(2) -
+      batch.count().toDouble / emb.count()) < 1e-12)           // appended_fraction
+    assert(r.getInt(3) === 1 && r.getInt(4) === 16)            // batch_roots, nlist
+    assert(r.getLong(6) > 1L && r.getLong(6) <= 16L)           // occupied_cells
+    assert(r.getDouble(7) > 0.0 && r.getDouble(7) < 1.0)       // top-1 share: spread
+    assert(r.getLong(8) > 1L)                                  // appended spread too
+    val stationaryShare = r.getDouble(9)
+    assert(stationaryShare > 0.0 && stationaryShare < 1.0)
+    // independent census check: top-1 share == fullest cell / total
+    val counts = Similarity.ivfCells(spark, idx).groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    assert(math.abs(r.getDouble(7) - counts.max.toDouble / counts.sum) < 1e-12)
+
+    // DISTRIBUTION SHIFT: a tight far-off clump co-assigns to one cell,
+    // so the appended census concentrates — the RECALL.md alert, in
+    // miniature — while nothing about the manifest fraction alone would
+    // distinguish this from benign same-distribution growth
+    val dim = emb.head().getSeq[Float](1).length
+    val far = (0 until 200).map(i => (9000000L + i, Seq.fill(dim)(10.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfAppend(far, idx)
+    val r2 = Similarity.ivfStats(spark, idx, topCells = 1).head()
+    assert(r2.getInt(3) === 2)                                  // two batch roots
+    assert(r2.getDouble(9) > 0.7, s"shifted top-1 share ${r2.getDouble(9)}")
+    assert(r2.getDouble(9) > stationaryShare + 0.3,
+      "the shift alert must separate cleanly from the stationary census")
+  }
+
   test("ivfProbe pins a non-deterministic queries frame (collect == join view)") {
     val idx = java.nio.file.Files.createTempDirectory("ivf_nd_").toFile.getAbsolutePath
     Similarity.ivfBuild(emb, idx, nlist = 16)
