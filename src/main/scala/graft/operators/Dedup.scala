@@ -502,16 +502,18 @@ object Dedup {
 
   /** The corpus-side artifacts [[probeNearDups]] serves from, computed
     * ONCE per corpus snapshot: the hot-shingle census (`hot`), the
-    * stop-filtered hashed corpus shingles CLUSTERED BY shingle hash
-    * (`shingles` — partitioned on `s` before materialization, so every
-    * probe's candidate equi-join reuses the partitioning and the corpus
-    * side never re-shuffles), and the per-doc shingle counts (`sizes`).
-    * All three are materialized (eager localCheckpoint): a streaming
-    * ingest probes once per micro-batch forever, and without pinning,
-    * each micro-batch would re-shingle the whole corpus. A production
-    * deployment persists the same three frames as (bucketed) parquet
-    * next to the corpus — this is the in-session spelling of that
-    * contract. */
+    * stop-filtered hashed corpus shingles (`shingles`), and the per-doc
+    * shingle counts (`sizes`). All three are materialized (eager
+    * localCheckpoint): a streaming ingest probes once per micro-batch
+    * forever, and without pinning, each micro-batch would re-shingle the
+    * whole corpus. A production deployment persists the same three
+    * frames as parquet next to the corpus, `shingles` BUCKETED BY `s` so
+    * the candidate equi-join reads the corpus side exchange-free
+    * (ScaleSpec pins that bucketed layout removes the shuffle; an
+    * in-session repartition cannot — Spark 4.1 checkpoints and caches
+    * both report UnknownPartitioning under AQE, measured here, so the
+    * probe join re-shuffles in-session index frames regardless of how
+    * they were laid out). */
   final case class NearDupIndex(idCol: String, k: Int, hot: DataFrame,
                                 shingles: DataFrame, sizes: DataFrame)
 
@@ -527,9 +529,7 @@ object Dedup {
       .filter(col("df") > greatest(col("n_docs") * maxDocFrac, lit(5.0)))
       .select("s").localCheckpoint(true)
     val cs = cs0.join(broadcast(hot), Seq("s"), "left_anti")
-      .select(col(idCol), col("s"))
-      .repartition(col("s")) // probe joins on s: corpus side pre-clustered
-      .localCheckpoint(true)
+      .select(col(idCol), col("s")).localCheckpoint(true)
     val szc = cs.groupBy(idCol).agg(count(lit(1)).as("n")).localCheckpoint(true)
     NearDupIndex(idCol, k, hot, cs, szc)
   }

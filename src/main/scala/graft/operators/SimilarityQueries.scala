@@ -190,13 +190,18 @@ object SimilarityQueries {
     // vs shifted 53.6% top-20 share at the 2×10⁶ decade). The census
     // scans only the `cell` partition column (footer reads, no vector
     // bytes), so the gauge is safe to run concurrently with serving.
-    // Same build+append construction as sim_knn_ivf_append under its own
-    // tag. Rows-only check; the census arithmetic and the shift alert
-    // behavior are pinned in SimilaritySpec.
+    // SHARES sim_knn_ivf_append's index tag: both queries construct the
+    // IDENTICAL index state (build on 90%, one append of the 10%, gated
+    // by ivfValid(full corpus)), so whichever runs first builds and the
+    // other reuses — the gauge is exactly "run health checks against the
+    // index you serve", and a second full build per session would be
+    // pure waste at the big decades. Rows-only check; the census
+    // arithmetic and the shift alert behavior are pinned in
+    // SimilaritySpec.
     Q("sim_ivf_stats",
       (s, dir) => {
         val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-        val idx = Similarity.ivfIndexDir(s, dir + "#stats")
+        val idx = Similarity.ivfIndexDir(s, dir + "#append")
         if (!Similarity.ivfValid(e, idx, nlist = 16)) {
           Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
           Similarity.ivfAppend(e.filter(col("vec_id") % 10 === 0), idx)

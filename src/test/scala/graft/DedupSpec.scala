@@ -228,6 +228,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(unioned === whole)
   }
 
+
   test("null/empty text degrades totally: no crashes, sane memberships") {
     // The driver corpus has no nulls, so the oracles never exercise
     // them — pin the library contract here: null/short text docs simply
