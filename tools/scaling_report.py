@@ -75,6 +75,19 @@ SHAPE_NOTES = {
         "batch JOIN corpus on shared-shingle buckets only: cost follows "
         "|new batch| x matching buckets plus one corpus scan, never "
         "corpus x corpus"),
+    "dedup_incremental_stream": (
+        "dedup_incremental's streaming spelling: ONE corpus-side index "
+        "build (the same single corpus shingling pass, pinned) + "
+        "per-micro-batch probes costing |micro-batch shingles| x "
+        "matching buckets, + the fixed streaming trigger overhead; "
+        "decade ratios track the batch twin's (probe work distributes "
+        "over chunks, the index build amortizes across all of them)"),
+    "wx_rain_daily_stream_restart": (
+        "wx_rain_daily_stream run through a CHECKPOINT RESTART: same "
+        "per-decade state/scan work as the non-restart twin plus a "
+        "second fixed query-startup + state-store-recovery cost, which "
+        "is why it sits ~1-2 s above the twin at every decade (9.99 vs "
+        "11.72 at 100x here) — overhead, not data growth"),
     "dedup_minhash": (
         "banded MinHash: shingle -> minhash signature -> band buckets; "
         "candidate pairs come from a bucket equi-join (shuffle on band "
