@@ -62,6 +62,16 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // Free the finished query's pinned blocks (localCheckpoint /
+        // persist frames). Registered queries share state across the
+        // registry ONLY through files (IVF index dirs, staged feeds) —
+        // never through cached RDDs — so the sweep is output-neutral.
+        // Without it, block-manager residue accumulates across the
+        // registry and the heaviest-shuffle queries die at the big
+        // decades (observed: 129-query sf10 run failed dedup_ngram at
+        // 16g while the same query passed isolated at the same commit).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
