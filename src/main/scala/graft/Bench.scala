@@ -101,11 +101,21 @@ object Bench {
     def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      catch { case _: Throwable => -1.0 }
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        catch { case _: Throwable => -1.0 }
+      // Same post-query sweep as Verify: queries share state across the
+      // registry only through FILES, never cached RDDs, so freeing each
+      // query's pinned blocks (localCheckpoint frames) is output-neutral
+      // — and Bench accumulates the same block-manager residue over its
+      // up-to-3 passes per query that killed the sf10 Verify run.
+      // Outside the timed window: harness hygiene, not query cost.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      elapsed
     }
     val p1 = names.map(n => n -> run(n)).toMap
     // Second pass only where noise can matter: a GC/JIT stall on a

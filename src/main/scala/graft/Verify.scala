@@ -57,6 +57,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // The sweep below keeps this invariant; enforcing it at every
+        // query START turns "a future query pins a frame for cross-query
+        // reuse and the sweep silently breaks it" (unpersisting a
+        // locally-checkpointed RDD is unrecoverable — lineage truncated)
+        // into a loud failure at the registration site instead of an
+        // obscure downstream one.
+        require(spark.sparkContext.getPersistentRDDs.isEmpty,
+          s"[verify] pinned-block residue found before $name: a previous " +
+            "query leaked persistent RDDs past the sweep")
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -200,16 +200,37 @@ object Similarity {
     if (isDeterministic(queries)) probed else probed.localCheckpoint(false)
   }
 
-  /** True iff every expression in the frame's analyzed plan is
-    * deterministic AND no Sample node appears (Sample's output depends
-    * on the physical row-to-partition layout, which Spark does not
-    * promise across recomputations, even seeded). Conservative on the
-    * safe side: a false negative only costs the one pinning checkpoint. */
-  private def isDeterministic(df: DataFrame): Boolean =
+  /** True iff recomputing the frame is guaranteed to yield the same rows:
+    * every expression in the analyzed plan is deterministic, no Sample
+    * node appears (Sample's output depends on the physical
+    * row-to-partition layout, which Spark does not promise across
+    * recomputations, even seeded), AND every LEAF is one Catalyst can
+    * re-evaluate stably — a file/table relation, literal rows, or Range.
+    * Any other leaf (LogicalRDD/ExternalRDD over a caller-supplied RDD, a
+    * streaming relation, a leaf this version doesn't know) is
+    * non-determinism Catalyst cannot SEE — `expressions` are all
+    * deterministic while the rows underneath may change between the two
+    * consumers — so it pins. Conservative on the safe side: a false
+    * negative only costs the one pinning checkpoint.
+    *
+    * REMAINING CALLER CONTRACT (not checkable from the plan): a
+    * FILE-BACKED queries frame must be immutable for the probe's
+    * duration — a landing directory that gains/loses files between the
+    * probe's two jobs is the same silent-candidate-drop hazard.
+    * Registered queries read fixed test corpora and are unaffected;
+    * continuous-ingest callers probe a snapshot (or pass an
+    * already-pinned frame). */
+  private def isDeterministic(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Range, Sample}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
     df.queryExecution.analyzed.find { p =>
       p.expressions.exists(!_.deterministic) ||
-        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sample]
+        p.isInstanceOf[Sample] ||
+        (p.children.isEmpty && !(p.isInstanceOf[LogicalRelation] ||
+          p.isInstanceOf[LocalRelation] || p.isInstanceOf[OneRowRelation] ||
+          p.isInstanceOf[Range]))
     }.isEmpty
+  }
 
   /** The DISTINCT cells this serving batch probes, collected driver-side
     * for a STATIC partition filter on the cell scans. Bounded by
@@ -308,7 +329,21 @@ object Similarity {
                                batches: Seq[String] = Nil,
                                seq: Long = 0L,
                                lastRows: Long = 0L,
-                               lastFp: Long = 0L)
+                               lastFp: Long = 0L,
+                               mv: Int = 1)
+
+  /** Manifest LAYOUT version. v1 = everything before the explicit field
+    * (including manifests that already carry last_rows/last_fp); v2 =
+    * the (lastRows, lastFp) replay pair is AUTHORITATIVE, where (0, 0)
+    * means exactly "no append committed since the build". The field
+    * exists because [[ivfCompact]]'s legacy-manifest backfill used to
+    * key on the `lastRows == 0` sentinel, which conflates "pre-upgrade
+    * manifest" with "last batch was empty" — unreachable today (an
+    * empty batch never commits) but one refactor away from wrong. `mv`
+    * is read-side state: [[writeManifest]] always stamps the CURRENT
+    * version (every write emits the full current layout), so any
+    * manifest mutation upgrades it. */
+  private[graft] val ManifestVersion = 2
 
   private def manifestPath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "manifest.json")
@@ -322,6 +357,7 @@ object Similarity {
     val batchesJson = m.batches.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"rows":${m.rows},"fingerprint":${m.fingerprint},""" +
       s""""nlist":${m.nlist},"dim":${m.dim},"fpv":${m.fpv},""" +
+      s""""mv":$ManifestVersion,""" +
       s""""appended_rows":${m.appendedRows},"seq":${m.seq},""" +
       s""""last_rows":${m.lastRows},"last_fp":${m.lastFp},""" +
       s""""batches":$batchesJson}"""
@@ -354,7 +390,8 @@ object Similarity {
           // batch-id-suffix replay check (see ivfAppendStage)
           f("seq").map(_.toLong).getOrElse(batches.size.toLong),
           f("last_rows").map(_.toLong).getOrElse(0L),
-          f("last_fp").map(_.toLong).getOrElse(0L))
+          f("last_fp").map(_.toLong).getOrElse(0L),
+          f("mv").map(_.toInt).getOrElse(1))
     }
   }
 
@@ -392,19 +429,27 @@ object Similarity {
     * parquet partition key, so the census reads footers, not vectors)
     * plus driver-trivial aggregation of the ≤ nlist per-cell counts —
     * an offline health check, safe to run concurrently with serving
-    * (reads go through the manifest like any probe). */
+    * (reads go through the manifest like any probe). The per-cell counts
+    * are COLLECTED (≤ nlist rows — the same order as the codebook the
+    * serving probe already collects) and occupied/top-share computed
+    * driver-side: the earlier two-aggregate spelling pinned the counts
+    * frame with a localCheckpoint that was never unpersisted, so a
+    * long-lived serving session running the gauge periodically leaked
+    * one pinned RDD per invocation into the block manager. */
   def ivfStats(s: SparkSession, indexDir: String, topCells: Int = 20): DataFrame = {
     import s.implicits._
     val m = readManifest(indexDir).getOrElse(sys.error(
       s"ivfStats: no readable manifest under $indexDir"))
+    require(topCells < m.nlist,
+      s"ivfStats: topCells=$topCells must be < nlist=${m.nlist} — with " +
+        "topCells >= nlist, top_share is identically 1.0 and the " +
+        "concentration alert can never fire (pick a small fraction of nlist)")
     // (occupied cells, share of `total` rows in the topCells fullest)
     def census(cells: DataFrame, total: Long): (Long, Double) = {
       val counts = cells.groupBy("cell").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // one index scan feeds both aggregates
-      val occupied = counts.count()
-      val top = counts.orderBy(desc("cnt"), asc("cell")).limit(topCells)
-        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
-      (occupied, if (total == 0) 0.0 else top.toDouble / total)
+        .collect().map(_.getLong(1))
+      val top = counts.sorted(Ordering[Long].reverse).take(topCells).sum
+      (counts.length.toLong, if (total == 0) 0.0 else top.toDouble / total)
     }
     val (occ, topShare) = census(ivfCells(s, indexDir).select("cell"), m.rows)
     val (aOcc, aTopShare) =
@@ -683,10 +728,13 @@ object Similarity {
     // purpose, is read as a replay, and the skip is LOGGED, never silent.
     val replay =
       (m.lastRows == bn && m.lastFp == bfp) ||
-        // legacy manifests (no last_* fields): the old batch-id-suffix
-        // check — fingerprint-only, rows unknown
-        (m.lastRows == 0 && m.batches.lastOption.exists(
-          _.endsWith("_" + java.lang.Long.toHexString(bfp))))
+        // legacy manifests (layout v1 without the last_* fields): the
+        // old batch-id-suffix check — fingerprint-only, rows unknown.
+        // On a v2 manifest (0, 0) means "no append since build" and the
+        // fallback never applies.
+        (m.mv < ManifestVersion && m.lastRows == 0 &&
+          m.batches.lastOption.exists(
+            _.endsWith("_" + java.lang.Long.toHexString(bfp))))
     if (replay) {
       log.warn(s"ivfAppend: batch (rows=$bn, fp=$bfp) matches the last " +
         s"committed batch under $indexDir — treating as an at-least-once " +
@@ -769,7 +817,13 @@ object Similarity {
     * the base: compaction IO is O(appended bytes), not O(corpus), which
     * at 100 TB is the difference between a background chore and a
     * rewrite nobody schedules. (COMPACT.md carries the measured
-    * file-count and probe-wall deltas.)
+    * file-count and probe-wall deltas.) The fold's re-cluster is
+    * SIZE-AWARE: cells past 4× the mean appended load are salted across
+    * multiple tasks/files, so a distribution-shifted index (RECALL.md
+    * shift mode) compacts with bounded max task input instead of
+    * funneling its hot cells through single giant tasks — see the
+    * inline census note; COMPACT.md carries the shifted-index
+    * measurement.
     *
     * FINGERPRINT-NEUTRAL BY CONSTRUCTION: the folded root holds exactly
     * the union of the batch rows, so rows / fingerprint / appendedRows /
@@ -807,14 +861,18 @@ object Similarity {
     * serving pause. Disk overhead of the grace: at most one compaction
     * interval's worth of superseded batch bytes.
     *
-    * LEGACY MANIFESTS (pre last_* fields, lastRows = 0 with committed
-    * batches): the fold would destroy the batch-id-suffix fallback
-    * replay check — the compact id's suffix encodes the WHOLE-INDEX
-    * fingerprint, not the last batch's — so the replay pair is
-    * BACKFILLED from the last committed batch's own data (one O(batch)
-    * stat pass, subsumed by the fold read) before the fold commits. A
-    * streaming replay straddling the upgrading compact is then caught
-    * exactly like on a current-format manifest.
+    * LEGACY MANIFESTS (layout version `mv` < [[ManifestVersion]]): the
+    * fold would destroy the batch-id-suffix fallback replay check — the
+    * compact id's suffix encodes the WHOLE-INDEX fingerprint, not the
+    * last batch's — so the replay pair is BACKFILLED from the last
+    * committed batch's own data (one O(batch) stat pass, subsumed by the
+    * fold read) before the fold commits, and the commit stamps the
+    * current layout version. A streaming replay straddling the upgrading
+    * compact is then caught exactly like on a current-format manifest.
+    * Keying on `mv` (not the earlier `lastRows == 0` sentinel) keeps
+    * "pre-upgrade manifest" distinct from "no append since build": a v2
+    * manifest's (0, 0) pair is trusted as-is, never recomputed into a
+    * different meaning (SimilaritySpec pins both cases).
     *
     * Row-count guard: the staged fold must hold exactly
     * `appendedRows` rows (batches always hold precisely the rows appended
@@ -830,9 +888,11 @@ object Similarity {
     if (m0.batches.size < 2) return
     // legacy-manifest backfill (see scaladoc): recover the replay pair
     // from the last committed batch's data before the fold erases the
-    // batch-id-suffix fallback's referent
+    // batch-id-suffix fallback's referent. Keyed on the LAYOUT VERSION,
+    // not a lastRows sentinel — a current-format (0, 0) pair means "no
+    // append since build" and is trusted as-is.
     val m =
-      if (m0.lastRows == 0L) {
+      if (m0.mv < ManifestVersion) {
         val (lr, lfp, _) = corpusStats(s.read.parquet(
           s"$indexDir/batches/${m0.batches.last}/cells.parquet"))
         m0.copy(lastRows = lr, lastFp = lfp)
@@ -840,14 +900,48 @@ object Similarity {
     val compactId = f"c${m.seq}%04d_${m.appendedRows}_" +
       java.lang.Long.toHexString(m.fingerprint)
     val staging = s"$indexDir/_staging/$compactId"
-    for (a <- Seq("cells.parquet", "cells_i8.parquet")) {
-      // per-root reads + union (sibling partitioned roots — the ivfCells
-      // rule); the fold re-clusters by cell so each cell lands in ONE
-      // task → one file per cell per artifact, the ivfBuild layout
+    // per-root reads + union (sibling partitioned roots — the ivfCells rule)
+    def foldRead(a: String): DataFrame =
       m.batches.map(b => s.read.parquet(s"$indexDir/batches/$b/$a"))
         .reduce(_ unionByName _)
-        .repartition(m.nlist, col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$staging/$a")
+    // SIZE-AWARE RE-CLUSTER (hot-cell task/file split): the fold hashes
+    // cells into tasks so each cell lands in ONE task → one file per cell
+    // per artifact (the ivfBuild layout rule) — the right layout while the
+    // appended mass tracks the base's spread, but a DISTRIBUTION-SHIFTED
+    // index crams most appended rows into few cells (measured 53.6%
+    // top-20 share, RECALL.md shift mode), making those cells single
+    // giant tasks to compact and single giant files to probe. So cells
+    // holding more than 4× the mean appended load are SALTED across
+    // ceil(cnt / 4·mean) subtasks — max task input is bounded at ~4× the
+    // mean cell load between rebuilds, and a hot cell's partition dir
+    // simply holds several files (dir-level cell pruning unaffected; the
+    // probe reads the same rows either way). A stationary index has no
+    // cell past the cap and keeps the exact one-file-per-cell layout.
+    // The census costs one partition-column-only pass over the batch
+    // roots (footer reads — the ivfStats economics); the split map is at
+    // most nlist/4 entries, broadcast.
+    val meanLoad = math.max(1L, m.appendedRows / m.nlist)
+    val capRows = 4L * meanLoad
+    val splits: Map[Int, Long] = foldRead("cells.parquet").groupBy("cell")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .collect { case r if r.getLong(1) > capRows =>
+        r.getInt(0) -> (r.getLong(1) + capRows - 1) / capRows }
+      .toMap
+    val extraTasks = splits.valuesIterator.map(_ - 1).sum
+    for (a <- Seq("cells.parquet", "cells_i8.parquet")) {
+      val u = foldRead(a)
+      val clustered =
+        if (splits.isEmpty) u.repartition(m.nlist, col("cell"))
+        else {
+          import s.implicits._
+          val sdf = broadcast(splits.toSeq.toDF("cell", "__nsplit"))
+          u.join(sdf, Seq("cell"), "left")
+            .withColumn("__salt", when(col("__nsplit").isNull, lit(0L))
+              .otherwise(pmod(xxhash64(col("id")), col("__nsplit"))))
+            .repartition((m.nlist + extraTasks).toInt, col("cell"), col("__salt"))
+            .drop("__nsplit", "__salt")
+        }
+      clustered.write.mode("overwrite").partitionBy("cell").parquet(s"$staging/$a")
     }
     val folded = s.read.parquet(s"$staging/cells.parquet").count()
     require(folded == m.appendedRows,

@@ -620,4 +620,100 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(a === b)
   }
+
+  test("ivfCompact trusts a current-format (0,0) replay pair — no backfill on mv=2") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_mv2_").toFile.getAbsolutePath
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
+    Seq(0, 10).foreach(r =>
+      Similarity.ivfAppend(emb.filter(col("vec_id") % 20 === r), idx))
+    val m = Similarity.readManifest(idx).get
+    assert(m.mv === Similarity.ManifestVersion && m.lastRows > 0L)
+    // rewrite the manifest with the replay pair ZEROED but the CURRENT
+    // layout version: on v2, (0, 0) means "no append since build" — a
+    // state the fold must carry through untouched, where the old
+    // `lastRows == 0` sentinel would have read it as "pre-upgrade" and
+    // backfilled it into a replay referent it never was
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "manifest.json"),
+      new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(idx, "manifest.json")), "UTF-8")
+        .replace(s""""last_rows":${m.lastRows}""", """"last_rows":0""")
+        .replace(s""""last_fp":${m.lastFp}""", """"last_fp":0""")
+        .getBytes("UTF-8"))
+    Similarity.ivfCompact(spark, idx)
+    val mc = Similarity.readManifest(idx).get
+    assert(mc.batches.size === 1)
+    assert((mc.lastRows, mc.lastFp) === (0L, 0L), "v2 pair must survive as-is")
+    // ... and with the pair meaning "no append", re-sending the last
+    // batch is NOT read as a replay: it commits (multiplicity-sensitive
+    // manifest), instead of being silently skipped off a backfilled pair
+    Similarity.ivfAppend(emb.filter(col("vec_id") % 20 === 10), idx)
+    assert(Similarity.readManifest(idx).get.batches.size === 2)
+  }
+
+  test("ivfProbe pins an RDD-backed queries frame (leaf Catalyst cannot see)") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_rdd_").toFile.getAbsolutePath
+    Similarity.ivfBuild(emb, idx, nlist = 16)
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // parquet-backed deterministic queries: NO pin (the common serving
+    // path pays zero materialization jobs)
+    val fileQ = emb.filter(col("vec_id") % 50 === 0)
+    Similarity.ivfProbe(spark, idx, fileQ, 5, nprobe = 16).collect()
+    assert(sc.getPersistentRDDs.isEmpty,
+      "a deterministic file-backed queries frame must not be pinned")
+    // RDD-backed queries: every EXPRESSION is deterministic, but the
+    // leaf rows live behind a LogicalRDD/ExternalRDD Catalyst cannot
+    // promise stable across recomputation — the probe must pin it so
+    // the collected cell set and the join side read the SAME rows
+    val rddQ = spark.createDataFrame(fileQ.rdd, fileQ.schema)
+    val got = Similarity.ivfProbe(spark, idx, rddQ, 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sc.getPersistentRDDs.nonEmpty,
+      "an RDD-backed queries frame must be checkpoint-pinned")
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // nprobe = nlist degenerates to exact: full top-k for every query
+    val exact = Similarity.knn(emb, fileQ, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === exact)
+  }
+
+  test("ivfCompact splits hot cells on a shifted index (bounded task/file size)") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_hot_").toFile.getAbsolutePath
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
+    val dim = emb.head().getSeq[Float](1).length
+    // a tight far-off clump: 400 near-identical vectors co-assign to ONE
+    // cell — appendedRows = 450, mean load ~28, cap = 4×mean = ~112, so
+    // the clump cell must fold into ceil(400/112) = 4 salted subtasks
+    val far = (0 until 400).map(i =>
+      (9100000L + i, Seq.tabulate(dim)(j => 10.0f + (if (j == 0) i * 1e-4f else 0f))))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfAppend(far, idx)
+    Similarity.ivfAppend(emb.filter(col("vec_id") % 10 === 0), idx)
+    val queries = far.limit(20)
+    def pairs() = Similarity.ivfProbe(spark, idx, queries, 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val before = pairs()
+    Similarity.ivfCompact(spark, idx)
+    val mc = Similarity.readManifest(idx).get
+    assert(mc.batches.size === 1)
+    val foldRoot = new java.io.File(s"$idx/batches/${mc.batches.head}/cells.parquet")
+    val filesPerCell = foldRoot.listFiles().filter(_.getName.startsWith("cell="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.startsWith("part-"))).toMap
+    // the hot cell folded into MULTIPLE files; no cell got one giant task
+    assert(filesPerCell.values.max >= 2,
+      s"hot cell not split: $filesPerCell")
+    // bounded: rows per file ≤ ~cap (hash salting is uneven only by
+    // small-sample noise; 2× headroom keeps the assertion honest)
+    val mean = math.max(1L, mc.appendedRows / mc.nlist)
+    val maxFileRows = foldRoot.listFiles().filter(_.getName.startsWith("cell="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(f => spark.read.parquet(f.getAbsolutePath).count()).max
+    assert(maxFileRows <= 8 * mean, s"max file rows $maxFileRows vs mean $mean")
+    // cold cells keep the one-file-per-cell layout
+    assert(filesPerCell.values.min === 1, s"cold cells over-split: $filesPerCell")
+    // serving is unchanged through the split fold
+    assert(pairs() === before)
+  }
 }
