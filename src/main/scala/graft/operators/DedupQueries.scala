@@ -317,13 +317,21 @@ object DedupQueries {
     // Incremental dedup: every 10th doc arrives as a "new batch" and is
     // checked for near-dups against the remaining 90% "corpus" — the
     // daily-ingest shape: batch⋈corpus shingle equi-join only, the corpus
-    // is never re-paired with itself (see Dedup.incrementalNearDups).
+    // is never re-paired with itself. Served from the STORED index
+    // artifact (Dedup.nearDupIndexIfAbsent): the first invocation builds
+    // hot/shingles/sizes as parquet (shingles BUCKETED BY s — the
+    // candidate join reads the corpus side exchange-free), every re-run
+    // validates the manifest and goes probe-only — the same
+    // fit-offline-once / probe-many contract as the sim_knn_ivf family,
+    // and the output is identical to the in-session spelling (DedupSpec
+    // pins stored ≡ in-session; the DuckDB oracle is unchanged).
     Q("dedup_incremental",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        Dedup.incrementalNearDups(
-            docs.filter(col("doc_id") % 10 =!= 0),
-            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        val ix = Dedup.nearDupIndexIfAbsent(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          Dedup.nearDupIndexDir(s, dir))
+        Dedup.probeNearDups(ix, docs.filter(col("doc_id") % 10 === 0), "text")
           .select(col("doc_id"), col("dup_of"), col("inter"),
             col("n_batch"), col("n_corpus"), r6(col("jaccard")).as("jaccard"))
           .orderBy("doc_id")
@@ -344,8 +352,14 @@ object DedupQueries {
       (s, dir) => {
         import graft.streaming.WeatherStream
         val docs = Tables.documents(s, dir)
-        val ix = Dedup.nearDupIndex(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        // shares dedup_incremental's STORED index dir: whichever runs
+        // first builds, the other validates + loads — a long-running
+        // ingest restarts its probe loop without ever re-shingling the
+        // corpus (the stored-artifact contract; at 100 TB the difference
+        // between O(batch) and O(corpus) per restart)
+        val ix = Dedup.nearDupIndexIfAbsent(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          Dedup.nearDupIndexDir(s, dir))
         val input = WeatherStream.chunkedFileFeedDF(
           docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
           "doc_id", WeatherStream.stagingDir("dedup_inc_stream", dir))
@@ -357,6 +371,32 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(incrementalSql)),
+
+    // INDEX HEALTH GAUGE for the stored near-dup index — the dedup
+    // analogue of sim_ivf_stats: one row with the manifest identity, the
+    // appended_fraction staleness signal (the census-drift alert —
+    // Dedup.nearDupAppend's contract: the hot-shingle census is frozen
+    // at build, and the candidate-space guarantee decays with exactly
+    // this fraction), and artifact row counts (parquet metadata counts,
+    // no shingle bytes read). The setup exercises the FULL maintenance
+    // path: build on half the corpus, nearDupAppend the other half —
+    // gated by nearDupValid(union) (fingerprint additivity: the appended
+    // manifest equals a from-scratch union build's), so session re-runs
+    // are gauge-only. Rows-only check; the append ≡ rebuild probe
+    // equivalence and the gauge arithmetic are pinned in DedupSpec.
+    Q("dedup_index_stats",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val ixDir = Dedup.nearDupIndexDir(s, dir + "#append")
+        if (!Dedup.nearDupValid(corpus, "doc_id", "text", ixDir)) {
+          Dedup.nearDupIndexWrite(
+            corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", ixDir)
+          Dedup.nearDupAppend(corpus.filter(col("doc_id") % 2 === 0), ixDir)
+        }
+        Dedup.nearDupStats(s, ixDir)
+      },
+      None),
 
     // Embedding-cosine near-dup with the BOUNDED blocking key: label
     // composed with a banded sign-LSH bucket of the vector (4 bands ×

@@ -213,6 +213,42 @@ object SimilarityQueries {
       },
       None),
 
+    // STREAMING ANN enrichment: arriving QUERY vectors probed per
+    // micro-batch against the STORED appended index (foreachBatch →
+    // ivfProbe) — the serving-side streaming fact, where
+    // sim_knn_ivf_stream covers the ingest side. Licensed by per-left-row
+    // independence (SURVEY §7.3j): every output row depends only on its
+    // own query vector and the static stored index, so the union over
+    // micro-batches equals the one-shot probe under ANY chunking
+    // (SimilaritySpec pins the drained stream ≡ one-shot — the TENTH
+    // streaming ≡ batch fact). SHARES sim_knn_ivf_append's index tag
+    // (identical ivfValid-gated construction): whichever runs first
+    // builds, the others serve. Inside foreachBatch the micro-batch
+    // frame is RDD-backed, so probeCells pins it (the r15 leaf rule) —
+    // the probe's collected cell set and join side always read the same
+    // arrived rows. Replay-idempotent (each micro-batch overwrites its
+    // own batch=<id> output dir). Sketch family → rows-only check.
+    StreamQ("sim_knn_stream",
+      (s, dir) => {
+        import graft.streaming.WeatherStream
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val idx = Similarity.ivfIndexDir(s, dir + "#append")
+        if (!Similarity.ivfValid(e, idx, nlist = 16)) {
+          Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
+          Similarity.ivfAppend(e.filter(col("vec_id") % 10 === 0), idx)
+        }
+        val input = WeatherStream.chunkedFileFeedDF(
+          e.filter(col("vec_id") % 50 === 0), "vec_id",
+          WeatherStream.stagingDir("knn_stream", dir))
+        WeatherStream.drainForeachBatch(input.df, "sim_knn_stream",
+          b => Similarity.ivfProbe(s, idx, b, K, nprobe = 2)
+            .select(col("q_id"), col("rank"), col("neighbor_id"),
+              r6(col("cos")).as("cosine")),
+          input)
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Approximate top-k via multi-table hyperplane LSH (8 tables × 8 bits).
     Q("sim_knn_lsh",
       (s, dir) => {

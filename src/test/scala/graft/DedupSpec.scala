@@ -229,6 +229,89 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   }
 
 
+  private def probeRows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5))).toSet
+
+  test("stored near-dup index: load-probe ≡ in-session; bucketed scan survives a fresh catalog") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ndix_").toFile.getAbsolutePath
+    val inSession = probeRows(Dedup.probeNearDups(
+      Dedup.nearDupIndex(corpus, "doc_id", "text"), batch, "text"))
+    assert(inSession.nonEmpty)
+    Dedup.nearDupIndexWrite(corpus, "doc_id", "text", dir)
+    // simulate a NEW session: drop the catalog entry the write registered
+    // — the load must re-register the bucketed table via DDL from the
+    // manifest alone (bucket metadata lives in the catalog, not files)
+    spark.sql(s"DROP TABLE IF EXISTS ${Dedup.shingleTable(dir)}")
+    val ix = Dedup.nearDupIndexLoad(spark, dir)
+    assert(probeRows(Dedup.probeNearDups(ix, batch, "text")) === inSession)
+    // the candidate equi-join reads the corpus side EXCHANGE-FREE: only
+    // the (small) probe side shuffles into the bucket layout
+    val bs = Dedup.shingleHashes(batch, "doc_id", "text").select("s")
+    val j = bs.hint("merge").join(ix.shingleRoots.head, "s")
+    j.write.format("noop").mode("overwrite").save()
+    val planStr = j.queryExecution.executedPlan.toString
+    assert(planStr.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
+    assert("Exchange hashpartitioning".r.findAllIn(planStr).size === 1,
+      s"bucketed corpus side must not shuffle:\n$planStr")
+    // validity gate: exact corpus at exact parameters only
+    assert(Dedup.nearDupValid(corpus, "doc_id", "text", dir))
+    assert(!Dedup.nearDupValid(docs, "doc_id", "text", dir),
+      "a different corpus must not validate")
+    assert(!Dedup.nearDupValid(corpus, "doc_id", "text", dir, k = 4),
+      "different shingle width must not validate")
+  }
+
+  test("nearDupAppend: appended ≡ rebuilt on stationary appends; replay no-op; union validates") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val base = corpus.filter(col("doc_id") % 2 === 1)
+    val grow = corpus.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def tmp() = java.nio.file.Files.createTempDirectory("ndix_a_").toFile.getAbsolutePath
+    val dirA = tmp(); val dirR = tmp()
+    Dedup.nearDupIndexWrite(base, "doc_id", "text", dirA)
+    Dedup.nearDupAppend(grow, dirA)
+    Dedup.nearDupIndexWrite(corpus, "doc_id", "text", dirR)
+    // stationarity precondition (what makes append ≡ rebuild EXACT): no
+    // shingle crosses the frozen hot cap in either census
+    assert(spark.read.parquet(s"$dirA/hot.parquet").count() === 0L)
+    assert(spark.read.parquet(s"$dirR/hot.parquet").count() === 0L)
+    val pa = probeRows(Dedup.probeNearDups(Dedup.nearDupIndexLoad(spark, dirA), batch, "text"))
+    val pr = probeRows(Dedup.probeNearDups(Dedup.nearDupIndexLoad(spark, dirR), batch, "text"))
+    assert(pa.nonEmpty && pa === pr,
+      "appended-index probe must equal the rebuilt-index probe")
+    // the appended manifest IS the union build's (fingerprint additivity)
+    val ma = Dedup.readNdManifest(dirA).get
+    val mr = Dedup.readNdManifest(dirR).get
+    assert((ma.rows, ma.fingerprint) === (mr.rows, mr.fingerprint))
+    assert(ma.appendedRows === grow.count() && ma.batches.size === 1)
+    // ... so the union frame validates the appended index, no rebuild
+    assert(Dedup.nearDupValid(corpus, "doc_id", "text", dirA))
+    // at-least-once replay window: re-appending the LAST committed batch
+    // is a logged no-op
+    Dedup.nearDupAppend(grow, dirA)
+    assert(Dedup.readNdManifest(dirA).get === ma)
+  }
+
+  test("nearDupStats: gauge arithmetic off the manifest and artifacts") {
+    val corpus = (1 to 30).map(i =>
+      (i.toLong, (1 to 12).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ndix_s_").toFile.getAbsolutePath
+    Dedup.nearDupIndexWrite(corpus.filter(col("doc_id") <= 20), "doc_id", "text", dir)
+    Dedup.nearDupAppend(corpus.filter(col("doc_id") > 20), dir)
+    val r = Dedup.nearDupStats(spark, dir).head()
+    assert(r.getLong(0) === 30L)                                // rows
+    assert(r.getLong(1) === 10L)                                // appended_rows
+    assert(math.abs(r.getDouble(2) - 10.0 / 30.0) < 1e-12)      // appended_fraction
+    assert(r.getInt(3) === 1 && r.getInt(4) === 3)              // batch_roots, k
+    assert(r.getLong(5) === 0L)                                 // hot_shingles (unique words)
+    // 12 words per doc → 10 distinct 3-shingles per doc, all unique
+    assert(r.getLong(6) === 200L && r.getLong(7) === 100L)
+  }
+
   test("null/empty text degrades totally: no crashes, sane memberships") {
     // The driver corpus has no nulls, so the oracles never exercise
     // them — pin the library contract here: null/short text docs simply

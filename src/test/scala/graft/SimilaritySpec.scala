@@ -678,6 +678,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got === exact)
   }
 
+  test("streamed query probes union to the one-shot ivfProbe (serving-side stream ≡ batch)") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_qstream_").toFile.getAbsolutePath
+    Similarity.ivfBuild(emb, idx, nlist = 16)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val oneShot = key(Similarity.ivfProbe(spark, idx, queries, 5, nprobe = 2))
+    // the REAL streaming path the registered query runs: chunked feed,
+    // one ivfProbe per micro-batch through foreachBatch, union read back
+    import graft.streaming.WeatherStream
+    val feedDir = java.nio.file.Files.createTempDirectory("ivf_qfeed_").toFile.getAbsolutePath
+    val input = WeatherStream.chunkedFileFeedDF(queries, "vec_id", feedDir, nChunks = 3)
+    val streamed = WeatherStream.drainForeachBatch(input.df, "spec_knn_stream",
+      b => Similarity.ivfProbe(spark, idx, b, 5, nprobe = 2), input)
+    assert(key(streamed) === oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
   test("ivfCompact splits hot cells on a shifted index (bounded task/file size)") {
     val idx = java.nio.file.Files.createTempDirectory("ivf_hot_").toFile.getAbsolutePath
     Similarity.ivfBuild(emb.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
