@@ -117,6 +117,19 @@ object WeatherStream {
     f.delete(); ()
   }
 
+  /** Default chunk count for the registered queries' replay feeds: 3
+    * micro-batches exercise cross-batch state carry at TWO batch
+    * boundaries (plus the restart query's kill-and-recover seam) while
+    * paying one less round of the per-micro-batch fixed machinery than
+    * the earlier 4 — measured at sf0.1 as ~0.3-0.5 s per streaming query
+    * of pure trigger/checkpoint-commit cost with ZERO output change
+    * (every streaming ≡ batch fact is chunking-invariant by
+    * construction, and each is pinned under explicit multi-chunk feeds
+    * in StreamingSpec/DedupSpec/SimilaritySpec regardless of this
+    * default). See the round-15 streaming fixed-cost audit in
+    * BASELINE.md. */
+  val DefaultChunks = 3
+
   /** A chunked replay feed: data staged as event-time-range chunk files
     * plus an initially-EMPTY live directory the file-source stream tails.
     * Replay order is ARRIVAL order — the driver copies one chunk into the
@@ -175,7 +188,7 @@ object WeatherStream {
     * Production swaps the live dir for a real landing directory (arrival
     * order comes from the source itself) and runs unbounded. */
   def chunkedFileFeed(readings: DataFrame, dir: String,
-                      nChunks: Int = 4): ChunkedFeed =
+                      nChunks: Int = DefaultChunks): ChunkedFeed =
     chunkedFileFeedDF(readings, "ts", dir, nChunks)
 
   /** Session-scoped record of staging dirs already materialized, with the
@@ -201,7 +214,7 @@ object WeatherStream {
     * deduplicated, so the feed degrades to fewer (still correctly
     * ordered) micro-batches instead of writing empty chunk ranges. */
   def chunkedFileFeedDF(readings: DataFrame, tsCol: String, dir: String,
-                        nChunks: Int = 4): ChunkedFeed = {
+                        nChunks: Int = DefaultChunks): ChunkedFeed = {
     val s = readings.sparkSession
     val stage = new java.io.File(dir, "chunks")
     val bounds = Option(staged.get(stage.getAbsolutePath)).getOrElse {

@@ -92,7 +92,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("chunk_feed_").toFile
     val feed = WeatherStream.chunkedFileFeed(
       readings.toDF("event_id", "user_id", "ts", "value"),
-      new java.io.File(dir, "src").getAbsolutePath)
+      new java.io.File(dir, "src").getAbsolutePath, nChunks = 4)
     val q = WeatherStream.rainDailyStream(feed.typed).writeStream
       .format("memory").queryName("feed_out").outputMode("append").start()
     try {
@@ -133,7 +133,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val sentinel = Seq((99L, -1L, at(14L * 24 * 60), 0.0))
       .toDF("event_id", "user_id", "ts", "value")
     val input = WeatherStream.chunkedFileFeedDF(
-      ev.union(sentinel), "ts", staging)
+      ev.union(sentinel), "ts", staging, nChunks = 4)
     // the staged write partitions by chunk — recover each row's chunk id
     val chunkOf = spark.read.parquet(s"$staging/chunks")
       .select("event_id", "chunk").collect()
@@ -174,8 +174,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("ssjoin_").toFile
     val cStage = new java.io.File(dir, "clicks").getAbsolutePath
     val pStage = new java.io.File(dir, "purchases").getAbsolutePath
-    val cFeed = WeatherStream.chunkedFileFeedDF(clicks, "c_ts", cStage)
-    val pFeed = WeatherStream.chunkedFileFeedDF(purchases, "p_ts", pStage)
+    val cFeed = WeatherStream.chunkedFileFeedDF(clicks, "c_ts", cStage, nChunks = 4)
+    val pFeed = WeatherStream.chunkedFileFeedDF(purchases, "p_ts", pStage, nChunks = 4)
     val cChunk = spark.read.parquet(s"$cStage/chunks").filter(col("c_id") === 1L)
       .select("chunk").head().getInt(0)
     val pChunk = spark.read.parquet(s"$pStage/chunks").filter(col("p_id") === 2L)
@@ -213,7 +213,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("tied_feed_").toFile
     val feed = WeatherStream.chunkedFileFeed(
       readings.toDF("event_id", "user_id", "ts", "value"),
-      new java.io.File(dir, "src").getAbsolutePath)
+      new java.io.File(dir, "src").getAbsolutePath, nChunks = 4)
     val q = WeatherStream.rainDailyStream(feed.typed).writeStream
       .format("memory").queryName("tied_out").outputMode("append").start()
     try {
@@ -246,7 +246,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("restart_rain_").toFile
     val feed = WeatherStream.chunkedFileFeed(
       readings.toDF("event_id", "user_id", "ts", "value"),
-      new java.io.File(dir, "src").getAbsolutePath)
+      new java.io.File(dir, "src").getAbsolutePath, nChunks = 4)
     assert(feed.nChunks === 4)
     val sink = new java.io.File(dir, "sink")
     def start() = WeatherStream.startParquetSink(
