@@ -75,7 +75,9 @@ object IvfAppendBench {
     if (args.length == 4 && args(2) == "shift")
       return drift(args(0), args(1).toInt, Some(args(3).toDouble))
     if (args.length == 3 && args(2) == "compact")
-      return compact(args(0), args(1).toInt)
+      return compact(args(0), args(1).toInt, None)
+    if (args.length == 4 && args(2) == "compact")
+      return compact(args(0), args(1).toInt, Some(args(3).toDouble))
     val Array(dir) = args
     val spark = session()
 
@@ -253,15 +255,55 @@ object IvfAppendBench {
     * artifact), then measure the serving probe and the index's data-file
     * count BEFORE and AFTER [[graft.operators.Similarity.ivfCompact]],
     * asserting the probe's (q, rank, neighbor) set is IDENTICAL across
-    * the fold. Committed numbers live in COMPACT.md. */
-  private def compact(dir: String, batches: Int): Unit = {
+    * the fold. Committed numbers live in COMPACT.md.
+    *
+    * SHIFTED variant (`<dir> <B> compact <frac>`): the drift bench's
+    * distribution-shift split — build on the UNSHIFTED odd half, append
+    * the even half OFFSET by `frac · mean-norm` (the RECALL.md shift
+    * mode that crams >50% of appended mass into ~20 cells) — and report
+    * the fold's SKEW BOUND alongside the file counts: the hottest
+    * appended cell's row count vs the 4×mean salting cap, the file
+    * count that cell folded into, and the max rows in any folded data
+    * file (= the biggest per-cell task input any fold task processed;
+    * the size-aware re-cluster bounds it near the cap where the
+    * one-task-per-cell layout would have put the WHOLE hot cell in one
+    * task/file). */
+  private def compact(dir: String, batches: Int, shiftFrac: Option[Double]): Unit = {
     val spark = session()
-    val e = graft.sources.Tables.embeddings(spark, dir)
+    val raw = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
+    val e = shiftFrac match {
+      case None => raw
+      case Some(frac) =>
+        // the drift bench's shift, verbatim: even ids offset by
+        // frac·mean-norm/√dim per coordinate, staged to parquet so every
+        // step reads storage
+        val dbl = raw.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val dim = 64
+        val meanNorm = dbl.agg(avg(sqrt(
+          graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")))))
+          .head().getDouble(0)
+        val d = frac * meanNorm / math.sqrt(dim.toDouble)
+        val staged = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_${spark.sparkContext.applicationId}/cshift_${dir.hashCode.toHexString}")
+        dbl.withColumn("embedding",
+            when(col("vec_id") % 2 === 0,
+              expr(s"transform(embedding, x -> x + ${d}d)"))
+              .otherwise(col("embedding")))
+          .write.mode("overwrite").parquet(staged.getAbsolutePath)
+        spark.read.parquet(staged.getAbsolutePath)
+    }
     val n = e.count()
     val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
-    val base = e.filter(col("vec_id") % 10 =!= 0)
-    val arriving = e.filter(col("vec_id") % 10 === 0)
+    // shift mode: the odd (unshifted) half is the pre-indexed corpus and
+    // the shifted even half arrives — the codebook has no centroids in
+    // the shifted region, which is exactly what concentrates the appends
+    val base = shiftFrac.fold(e.filter(col("vec_id") % 10 =!= 0))(_ =>
+      e.filter(col("vec_id") % 2 === 1))
+    val arriving = shiftFrac.fold(e.filter(col("vec_id") % 10 === 0))(_ =>
+      e.filter(col("vec_id") % 2 === 0))
     val queries = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
     val idx = operators.Similarity.ivfIndexDir(spark, s"$dir#compactbench")
     val tBuild = time(operators.Similarity.ivfBuild(base, idx, nlist))
@@ -269,12 +311,22 @@ object IvfAppendBench {
     val tAppend = time((0 until batches).foreach(i =>
       operators.Similarity.ivfAppend(arriving.filter(bucket === i), idx)))
 
+    // Count data files in the SERVING READ SET (base + manifest-listed
+    // batch roots, both artifacts) — NOT a whole-dir walk: since the
+    // r14 reader grace period, a compact RETAINS the superseded batch
+    // dirs for one maintenance interval, so the dir total transiently
+    // GROWS at the first fold while the probe's file-open set (what
+    // this benchmark prices) shrinks ~10×.
     def dataFiles(): Long = {
       def walk(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
         else if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-")) 1L
         else 0L
-      walk(new java.io.File(idx))
+      val m0 = operators.Similarity.readManifest(idx).get
+      val roots = Seq(s"$idx/cells.parquet", s"$idx/cells_i8.parquet") ++
+        m0.batches.flatMap(b => Seq(s"$idx/batches/$b/cells.parquet",
+          s"$idx/batches/$b/cells_i8.parquet"))
+      roots.map(r => walk(new java.io.File(r))).sum
     }
     def probe() = operators.Similarity
       .ivfProbe(spark, idx, queries, K, nprobe = 4)
@@ -295,14 +347,31 @@ object IvfAppendBench {
     val m = operators.Similarity.readManifest(idx).get
     require(m.batches.size == 1 && m.appendedRows == arriving.count(),
       s"unexpected post-compact manifest: $m")
+    // skew report over the folded root: hottest cell vs the salting cap,
+    // files that cell folded into, max rows in any folded data file
+    // (one input_file_name() pass — no per-file reads)
+    val foldRoot = s"$idx/batches/${m.batches.head}/cells.parquet"
+    val folded = spark.read.parquet(foldRoot)
+    val cellRows = folded.groupBy("cell").count()
+      .orderBy(desc("count")).limit(1).collect()(0)
+    val (hotCell, hotRows) = (cellRows.getInt(0), cellRows.getLong(1))
+    val perFile = folded.groupBy(input_file_name().as("f"), col("cell"))
+      .count().localCheckpoint(true)
+    val maxFileRows = perFile.agg(max("count")).head().getLong(0)
+    val hotCellFiles = perFile.filter(col("cell") === hotCell).count()
+    val meanLoad = math.max(1L, m.appendedRows / m.nlist)
     rmTree(new java.io.File(idx))
 
-    println(s"""{"ivf_compact":{"dir":"$dir","corpus":$n,"nlist":$nlist,""" +
+    val shiftJson = shiftFrac.map(f => s""""shift_frac":${fmt(f, 2)},""").getOrElse("")
+    println(s"""{"ivf_compact":{"dir":"$dir","corpus":$n,"nlist":$nlist,$shiftJson""" +
       s""""batches":$batches,"build90_sec":${fmt(tBuild)},""" +
       s""""append_total_sec":${fmt(tAppend)},"compact_sec":${fmt(tCompact)},""" +
       s""""files_before":$filesBefore,"files_after":$filesAfter,""" +
       s""""probe_wall_before_sec":${fmt(wallBefore, 2)},""" +
-      s""""probe_wall_after_sec":${fmt(wallAfter, 2)},"probe_identical":true}}""")
+      s""""probe_wall_after_sec":${fmt(wallAfter, 2)},"probe_identical":true,""" +
+      s""""mean_cell_rows":$meanLoad,"salt_cap_rows":${4L * meanLoad},""" +
+      s""""hot_cell_rows":$hotRows,"hot_cell_files":$hotCellFiles,""" +
+      s""""max_file_rows":$maxFileRows}}""")
     spark.stop()
   }
 }
