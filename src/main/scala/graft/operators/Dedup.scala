@@ -888,6 +888,66 @@ object Dedup {
     ()
   }
 
+  /** MAINTENANCE fold: compact every committed [[nearDupAppend]] batch
+    * root into ONE root — [[Similarity.ivfCompact]]'s protocol applied
+    * to the dedup index. Without it a long-running ingest accumulates
+    * one root per append forever, and [[probeNearDups]] pays one
+    * candidate join PER ROOT per probe; after the fold it pays exactly
+    * two (the bucketed base + the compacted root).
+    *
+    * Probe-IDENTICAL by construction: the census, the shingle multiset,
+    * and the per-doc sizes are all unchanged — compaction is pure
+    * LAYOUT, so unlike [[nearDupAppend]]'s stationarity contract it
+    * needs no distribution assumption (DedupSpec pins exact equality
+    * against a never-compacted twin). Does NOT reset `appendedRows`:
+    * census-drift staleness is a property of the FROZEN census, which
+    * only a re-[[nearDupIndexWrite]] refits — the gauge keeps alerting
+    * after a fold, by design.
+    *
+    * Commit protocol (the [[nearDupAppend]] spelling): stage → promote
+    * → one atomic manifest replace; a torn fold is invisible (the
+    * manifest still lists the input roots) and a row-count read-back
+    * guards against committing a partial write. DEFERRED sweep (reader
+    * grace period): the roots this fold supersedes stay on disk for one
+    * more compaction cycle — only dirs older than this fold's inputs
+    * are removed — so a probe planned against the pre-compact manifest
+    * keeps every file for a full maintenance interval. SINGLE-WRITER
+    * per index dir. */
+  def nearDupCompact(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val m = readNdManifest(dir).getOrElse(sys.error(
+      s"nearDupCompact: no readable manifest under $dir"))
+    if (m.batches.size < 2) return
+    val compactId = f"c${m.seq}%04d_${m.appendedRows}_" +
+      java.lang.Long.toHexString(m.fingerprint)
+    val staging = s"$dir/_staging/$compactId"
+    def foldRead(a: String): DataFrame =
+      m.batches.map(b => s.read.parquet(s"$dir/batches/$b/$a"))
+        .reduce(_ unionByName _)
+    val expect = foldRead("shingles.parquet").count()
+    // file count tracks the base table's bucket count — the appended
+    // mass is the small side, this only bounds small-file growth
+    foldRead("shingles.parquet").repartition(m.buckets, col("s"))
+      .write.mode("overwrite").parquet(s"$staging/shingles.parquet")
+    foldRead("sizes.parquet")
+      .write.mode("overwrite").parquet(s"$staging/sizes.parquet")
+    val folded = s.read.parquet(s"$staging/shingles.parquet").count()
+    require(folded == expect,
+      s"nearDupCompact: folded $folded shingle rows but the inputs hold " +
+        s"$expect — the fold write under $dir is torn; not committing")
+    val target = new java.io.File(s"$dir/batches/$compactId")
+    rmTree(target)
+    java.nio.file.Files.createDirectories(target.getParentFile.toPath)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging), target.toPath)
+    writeNdManifest(dir, m.copy(batches = Seq(compactId)))
+    // corpus identity (rows, fingerprint, k, fracPpm) is unchanged by a
+    // fold, so an existing ndValidated memo stays correct — not cleared
+    Option(new java.io.File(s"$dir/batches").listFiles()).foreach(
+      _.filterNot(f => f.getName == compactId || m.batches.contains(f.getName))
+        .foreach(rmTree))
+    log.info(s"nearDupCompact: folded ${m.batches.size} batch roots " +
+      s"(${m.appendedRows} appended docs) into $compactId under $dir")
+  }
+
   /** ONE-ROW health report over a stored near-dup index — the
     * operational gauge ([[Similarity.ivfStats]]'s pattern): manifest
     * identity + the staleness fraction that alerts the re-build

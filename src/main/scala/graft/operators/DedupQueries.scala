@@ -398,6 +398,39 @@ object DedupQueries {
       },
       None),
 
+    // MAINTENANCE FOLD for the stored near-dup index — the dedup
+    // analogue of sim_knn_ivf_compact: the corpus lands as a build plus
+    // TWO appended batches (three deterministic thirds), the batch roots
+    // are folded into one (Dedup.nearDupCompact: stage → promote →
+    // atomic manifest commit, deferred sweep for reader grace), and the
+    // arriving 10% is probed against the compacted index. Compaction is
+    // pure layout — census, shingle multiset, and sizes unchanged — so
+    // the probe is IDENTICAL to the uncompacted index's (DedupSpec pins
+    // exact equality against a never-compacted twin; rows-only here
+    // because the half-corpus census differs from dedup_incremental's
+    // full-corpus one, so its oracle doesn't transfer). Session re-runs
+    // validate the folded manifest (fingerprint additivity is
+    // fold-invariant) and go probe-only.
+    Q("dedup_index_compact",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val ixDir = Dedup.nearDupIndexDir(s, dir + "#compact")
+        if (!Dedup.nearDupValid(corpus, "doc_id", "text", ixDir)) {
+          Dedup.nearDupIndexWrite(
+            corpus.filter(col("doc_id") % 3 === 1), "doc_id", "text", ixDir)
+          Dedup.nearDupAppend(corpus.filter(col("doc_id") % 3 === 2), ixDir)
+          Dedup.nearDupAppend(corpus.filter(col("doc_id") % 3 === 0), ixDir)
+          Dedup.nearDupCompact(s, ixDir)
+        }
+        Dedup.probeNearDups(Dedup.nearDupIndexLoad(s, ixDir),
+            docs.filter(col("doc_id") % 10 === 0), "text")
+          .select(col("doc_id"), col("dup_of"), col("inter"),
+            col("n_batch"), col("n_corpus"), r6(col("jaccard")).as("jaccard"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Embedding-cosine near-dup with the BOUNDED blocking key: label
     // composed with a banded sign-LSH bucket of the vector (4 bands ×
     // ceil(log2(n/16)) bits — the knob GROWS with the corpus), candidates

@@ -312,6 +312,56 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(6) === 200L && r.getLong(7) === 100L)
   }
 
+  test("nearDupCompact: fold probes identically; DEFERRED sweep (reader grace period)") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def slice(r: Int) = corpus.filter(col("doc_id") % 3 === r)
+    def tmp() = java.nio.file.Files.createTempDirectory("ndix_c_").toFile.getAbsolutePath
+    val dirC = tmp(); val dirU = tmp() // folded vs never-compacted twin
+    for (d <- Seq(dirC, dirU)) {
+      Dedup.nearDupIndexWrite(slice(1), "doc_id", "text", d)
+      Dedup.nearDupAppend(slice(2), d)
+      Dedup.nearDupAppend(slice(0), d)
+    }
+    val before = probeRows(Dedup.probeNearDups(Dedup.nearDupIndexLoad(spark, dirU), batch, "text"))
+    assert(before.nonEmpty)
+    val m1 = Dedup.readNdManifest(dirC).get
+    assert(m1.batches.size === 2)
+    Dedup.nearDupCompact(spark, dirC)
+    val m2 = Dedup.readNdManifest(dirC).get
+    // ONE compacted root; corpus identity and the staleness signal are
+    // UNCHANGED (compaction is layout-only — the census stays frozen, so
+    // the gauge must keep alerting)
+    assert(m2.batches.size === 1 && m2.batches.head.startsWith("c"))
+    assert((m2.rows, m2.fingerprint, m2.appendedRows, m2.seq) ===
+      (m1.rows, m1.fingerprint, m1.appendedRows, m1.seq))
+    // probe-identical: pure layout fold needs NO stationarity assumption
+    assert(probeRows(Dedup.probeNearDups(
+      Dedup.nearDupIndexLoad(spark, dirC), batch, "text")) === before)
+    // the folded manifest still validates the union corpus (fold-invariant
+    // fingerprint), so session re-runs go probe-only
+    assert(Dedup.nearDupValid(corpus, "doc_id", "text", dirC))
+    // DEFERRED sweep: the superseded roots survive this fold (a reader
+    // planned against the pre-compact manifest keeps its files)...
+    for (b <- m1.batches)
+      assert(new java.io.File(s"$dirC/batches/$b").exists(),
+        s"superseded root $b must survive one compaction cycle")
+    // ...and are removed only by the NEXT fold (append again → compact)
+    val again = (1 to 40).map(i =>
+      (1000000L + i, (1 to 12).map(j => s"x${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.nearDupAppend(again, dirC)
+    Dedup.nearDupCompact(spark, dirC)
+    for (b <- m1.batches)
+      assert(!new java.io.File(s"$dirC/batches/$b").exists(),
+        s"root $b older than the new fold's inputs must be swept")
+    assert(Dedup.readNdManifest(dirC).get.batches.size === 1)
+    // guard: fewer than two roots is a no-op (nothing to fold)
+    val m3 = Dedup.readNdManifest(dirC).get
+    Dedup.nearDupCompact(spark, dirC)
+    assert(Dedup.readNdManifest(dirC).get === m3)
+  }
+
   test("null/empty text degrades totally: no crashes, sane memberships") {
     // The driver corpus has no nulls, so the oracles never exercise
     // them — pin the library contract here: null/short text docs simply

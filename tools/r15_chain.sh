@@ -9,7 +9,7 @@
 # stops and the artifact is NOT regenerated from parts.
 set -o pipefail
 cd /root/repo
-REG=131   # registry size; dump dirs must hold REG+1 entries
+REG=132   # registry size; dump dirs must hold REG+1 entries
 step() { echo "=== $(date +%H:%M:%S) $1 ==="; }
 
 step "gate: verify + compare @ sf0.01"
