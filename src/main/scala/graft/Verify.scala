@@ -66,11 +66,30 @@ object Verify {
         require(spark.sparkContext.getPersistentRDDs.isEmpty,
           s"[verify] pinned-block residue found before $name: a previous " +
             "query leaked persistent RDDs past the sweep")
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // ONE bounded retry, loudly logged: registered queries are
+        // deterministic (that is the whole correctness contract), so a
+        // first-attempt failure is operational — a streaming flake under
+        // full-registry load (observed once at sf1: topk_stream missing
+        // from an otherwise-green 132-query dump, unreproducible in
+        // isolation OR in the next full run) — and retrying cannot
+        // change the dumped bytes, only recover them. A query that
+        // fails TWICE is a real defect and stays missing (the chain's
+        // dump-count gate catches it).
+        val ok = Iterator.range(0, 2).exists { attempt =>
+          if (attempt > 0) spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            true
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[verify] $name failed (attempt ${attempt + 1}/2): ${e.getMessage}")
+            false
+          }
         }
+        if (!ok)
+          System.err.println(s"[verify] $name EXHAUSTED retries — dump incomplete")
         // Free the finished query's pinned blocks (localCheckpoint /
         // persist frames). Registered queries share state across the
         // registry ONLY through files (IVF index dirs, staged feeds) —

@@ -12,9 +12,16 @@ cd /root/repo
 REG=132   # registry size; dump dirs must hold REG+1 entries
 step() { echo "=== $(date +%H:%M:%S) $1 ==="; }
 
+# Each Verify leg keeps its FULL log under /tmp/r15_logs (the first sf1
+# failure this round was undiagnosable because only the tail survived);
+# any "[verify]" stderr line (per-query failure or retry) is surfaced.
+mkdir -p /tmp/r15_logs
+vlog() { grep '\[verify\]' "$1" || true; tail -1 "$1"; }
+
 step "gate: verify + compare @ sf0.01"
 rm -rf /tmp/vout_r15_final
-sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout_r15_final" 2>&1 | tail -1 || exit 1
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout_r15_final" > /tmp/r15_logs/verify_sf001.log 2>&1 || exit 1
+vlog /tmp/r15_logs/verify_sf001.log
 [ "$(ls /tmp/vout_r15_final | wc -l)" -eq $((REG+1)) ] || { echo "INCOMPLETE DUMP sf0.01"; exit 1; }
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/vout_r15_final 2>&1 | tail -2 || exit 1
 
@@ -27,7 +34,8 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_OUT=/tmp/bench_r15_sma
 
 step "verify @ sf1"
 rm -rf /tmp/vout_r15_sf1
-SPARK_DRIVER_MEM=16g sbt -batch "runMain graft.Verify /root/repo/scaledata/sf1 /tmp/vout_r15_sf1" 2>&1 | tail -1 || exit 1
+SPARK_DRIVER_MEM=16g sbt -batch "runMain graft.Verify /root/repo/scaledata/sf1 /tmp/vout_r15_sf1" > /tmp/r15_logs/verify_sf1.log 2>&1 || exit 1
+vlog /tmp/r15_logs/verify_sf1.log
 [ "$(ls /tmp/vout_r15_sf1 | wc -l)" -eq $((REG+1)) ] || { echo "INCOMPLETE DUMP sf1"; exit 1; }
 
 step "compare @ sf1 -> CORRECTNESS_SCALE.json"
@@ -55,7 +63,8 @@ avail=$(df --output=avail -BG / | tail -1 | tr -dc '0-9')
 
 step "verify @ sf10 (~35 min) — UNSTITCHED at HEAD"
 rm -rf /tmp/vout_r15_sf10
-SPARK_DRIVER_MEM=16g sbt -batch "runMain graft.Verify /root/repo/scaledata/sf10 /tmp/vout_r15_sf10" 2>&1 | tail -1 || exit 1
+SPARK_DRIVER_MEM=16g sbt -batch "runMain graft.Verify /root/repo/scaledata/sf10 /tmp/vout_r15_sf10" > /tmp/r15_logs/verify_sf10.log 2>&1 || exit 1
+vlog /tmp/r15_logs/verify_sf10.log
 [ "$(ls /tmp/vout_r15_sf10 | wc -l)" -eq $((REG+1)) ] || { echo "INCOMPLETE DUMP sf10"; exit 1; }
 
 step "compare @ sf10 -> CORRECTNESS_SCALE_100X.json (~45 min)"
