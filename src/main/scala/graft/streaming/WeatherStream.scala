@@ -156,17 +156,31 @@ object WeatherStream {
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("part-")).map(_.length()).sum
     }.sum
-    /** Copy the next staged chunk's data files into the live directory;
-      * returns false once every chunk has arrived. Idempotent copies
-      * (REPLACE_EXISTING) keep a crashed-and-rerun harness safe. */
+    /** PUBLISH the next staged chunk into the live directory; returns
+      * false once every chunk has arrived. Publication is write-then-
+      * rename (the standard landing-zone protocol): the bytes are copied
+      * to a DOT-PREFIXED temp name — hidden from Spark's file source,
+      * which ignores `.`/`_` files — then atomically renamed into place,
+      * so the source's trigger thread (which lists the dir continuously,
+      * not just inside processAllAvailable) can never read a half-copied
+      * parquet. A plain copy raced exactly that listing: one in-flight
+      * FAILED_READ_FILE per ~100 small-scale runs, near-certain at the
+      * 100× decade where a chunk file is ~100× the copy window (observed:
+      * win_session_stream failing BOTH sf10 Verify attempts on
+      * arrival-0000{1,2}). Idempotent (REPLACE_EXISTING on both steps)
+      * so a crashed-and-rerun harness stays safe. */
     def advance(): Boolean =
       if (next >= chunkDirs.length) false
       else {
         val files = Option(chunkDirs(next).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.startsWith("part-"))
         files.foreach { f =>
-          java.nio.file.Files.copy(f.toPath,
-            new java.io.File(live, f"arrival-$next%05d-${f.getName}").toPath,
+          val name = f"arrival-$next%05d-${f.getName}"
+          val tmp = new java.io.File(live, s".$name.inprogress").toPath
+          java.nio.file.Files.copy(f.toPath, tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.move(tmp, new java.io.File(live, name).toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         next += 1

@@ -57,6 +57,8 @@ STREAMING = {
     "win_tumbling_stream", "win_session_stream", "join_stream_stream",
     "join_stream_static", "topk_stream", "dedup_keys_stream",
     "wx_rain_daily_stream", "wx_rain_daily_stream_restart",
+    "join_asof_stream", "dedup_incremental_stream", "sim_knn_ivf_stream",
+    "sim_knn_stream",
 }
 STREAMING_NOTE = ("streaming: fixed trigger/checkpoint overhead dominates "
                   "at bench scale (see streaming_sec in BENCH_r*.json); "
