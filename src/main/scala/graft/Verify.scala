@@ -28,6 +28,15 @@ object Verify {
       // companions (see the Bench builder note; deployments on object
       // stores keep the default)
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // GC-pause tolerance: a correctness dump is not latency-sensitive,
+      // but the 100x decade's giant window sorts can drive full-GC
+      // pauses long enough that the LOCAL executor misses 60 heartbeats
+      // at the 10s default and exits ("unable to send heartbeats to
+      // driver more than 60 times" — observed at sf10: SparkContext shut
+      // down mid-registry, every later query dead). 60s intervals give
+      // the same 60-miss budget an hour of cumulative pause tolerance.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

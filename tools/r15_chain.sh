@@ -61,9 +61,15 @@ rm -rf /tmp/vout_r14_sf10 /tmp/vout_r14_sf1 /tmp/vout_r14_final 2>/dev/null
 avail=$(df --output=avail -BG / | tail -1 | tr -dc '0-9')
 [ "$avail" -ge 25 ] || { echo "under 25G free before sf10 leg"; exit 1; }
 
-step "verify @ sf10 (~35 min) — UNSTITCHED at HEAD"
+step "verify @ sf10 — UNSTITCHED at HEAD"
+# 8 cores + 20g for THIS leg only: at the default local[4]/16g the
+# exact-knn trio's ~200M-row per-task window sorts spill + GC-storm
+# (one observed run lost its executor to 60 missed heartbeats). Results
+# are partition-count-independent — every registered query ends in a
+# total-order sort and the compare hashes sorted rows. Bench legs keep
+# 16g/local[32] (the measured-timing configuration).
 rm -rf /tmp/vout_r15_sf10
-SPARK_DRIVER_MEM=16g sbt -batch "runMain graft.Verify /root/repo/scaledata/sf10 /tmp/vout_r15_sf10" > /tmp/r15_logs/verify_sf10.log 2>&1 || exit 1
+SPARK_GRAFT_CPUS=8 SPARK_DRIVER_MEM=20g sbt -batch "runMain graft.Verify /root/repo/scaledata/sf10 /tmp/vout_r15_sf10" > /tmp/r15_logs/verify_sf10.log 2>&1 || exit 1
 vlog /tmp/r15_logs/verify_sf10.log
 [ "$(ls /tmp/vout_r15_sf10 | wc -l)" -eq $((REG+1)) ] || { echo "INCOMPLETE DUMP sf10"; exit 1; }
 
