@@ -24,6 +24,32 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // ENVIRONMENT SELF-CERTIFICATION — measured before the session spins
+    // up and recorded in the JSON line. BENCH_r15 was taken while a
+    // leftover 8-core Verify JVM churned the same box, and its 2.05×
+    // median per-query ratio vs r14 was unadjudicable for a round: a
+    // contaminated measurement is worse than none when it can masquerade
+    // as a regression (or as the absence of one). The guard RECORDS
+    // rather than refuses — the driver's bench must never be zeroed by a
+    // stray process — but the artifact now carries the evidence to
+    // discount itself: 1-minute load average at start and the number of
+    // OTHER JVMs alive (self and its sbt ancestors excluded).
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val otherJvms: Long = {
+      val self = Iterator.iterate(Option(ProcessHandle.current)) {
+        _.flatMap(h => Option(h.parent.orElse(null)))
+      }.takeWhile(_.isDefined).take(16).flatten.map(_.pid).toSet
+      import scala.jdk.CollectionConverters._
+      ProcessHandle.allProcesses().iterator().asScala.count { h =>
+        !self(h.pid) &&
+          h.info.command.map[Boolean](_.contains("java")).orElse(false)
+      }
+    }
+    if (otherJvms > 0 || loadAtStart > 2.0)
+      System.err.println(f"[bench] WARNING: contended box at start — " +
+        f"load1=$loadAtStart%.2f, other JVMs=$otherJvms; timings below " +
+        "measure the CONTENTION, not the engine")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // the production registration path (README "SQL surface"): the
@@ -172,14 +198,15 @@ object Bench {
         s""","total_prev_registry":${num("%.3f", sub.map(_._2).sum)},"n_prev_registry":${sub.length}"""
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"streaming_sec":$streamingSec,"streaming_n":$streamingN$prevRegistryJson,"sf":"$sfDir"}""")
+    val env = s""","load1":${num("%.2f", loadAtStart)},"other_jvms":$otherJvms"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"streaming_sec":$streamingSec,"streaming_n":$streamingN$prevRegistryJson$env,"sf":"$sfDir"}""")
     // Full-precision, uncapped dump for offline analysis (scaling curves):
     // SPARK_GRAFT_BENCH_OUT=path writes every query's timing to a file,
     // where the stdout line above stays within the driver's tail budget.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       val full = results.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
         .mkString("{", ",", "}")
-      val json = s"""{"total":$total,"queries":$full,"failed":$failedJson,"streaming_sec":$streamingSec,"streaming_n":$streamingN$prevRegistryJson,"sf":"$sfDir","cpus":$cpus}"""
+      val json = s"""{"total":$total,"queries":$full,"failed":$failedJson,"streaming_sec":$streamingSec,"streaming_n":$streamingN$prevRegistryJson$env,"sf":"$sfDir","cpus":$cpus}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         json.getBytes("UTF-8"))
     }

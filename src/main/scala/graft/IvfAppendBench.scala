@@ -78,6 +78,8 @@ object IvfAppendBench {
       return compact(args(0), args(1).toInt, None)
     if (args.length == 4 && args(2) == "compact")
       return compact(args(0), args(1).toInt, Some(args(3).toDouble))
+    if (args.length == 4 && args(2) == "refit")
+      return refit(args(0), args(1).toInt, args(3).toDouble)
     val Array(dir) = args
     val spark = session()
 
@@ -268,6 +270,107 @@ object IvfAppendBench {
     * the size-aware re-cluster bounds it near the cap where the
     * one-task-per-cell layout would have put the WHOLE hot cell in one
     * task/file). */
+  /** REFIT mode (`<dir> <N> refit <frac>`): the shift-drift split (build
+    * on the UNSHIFTED odd half, append the even half offset by
+    * `frac · mean-norm` in N installments — the RECALL.md regime that
+    * crams >50% of appended mass into ~20 cells), then measure what
+    * [[graft.operators.Similarity.ivfRefit]] RECOVERS at O(hot cells)
+    * where the previous only remedy was the O(corpus) rebuild:
+    * appended-mass top-20 concentration and the hottest live cell's row
+    * count before/after the refit (the probe's scan-fraction economics —
+    * a probe ranking a hot cell scans its whole population), probe wall
+    * before/after, near-dup recall@5 before/after (must hold: relabel
+    * moves no rows), refit seconds vs the rebuild ceiling's seconds, and
+    * the rebuild's own concentration as the refit's target. Committed
+    * numbers live in RECALL.md (refit section). */
+  private def refit(dir: String, installments: Int, frac: Double): Unit = {
+    val spark = session()
+    val raw = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val dim = 64
+    val meanNorm = raw.agg(avg(sqrt(
+      graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")))))
+      .head().getDouble(0)
+    val d = frac * meanNorm / math.sqrt(dim.toDouble)
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_${spark.sparkContext.applicationId}/rshift_${dir.hashCode.toHexString}")
+    raw.withColumn("embedding",
+        when(col("vec_id") % 2 === 0,
+          expr(s"transform(embedding, x -> x + ${d}d)"))
+          .otherwise(col("embedding")))
+      .write.mode("overwrite").parquet(staged.getAbsolutePath)
+    val e = spark.read.parquet(staged.getAbsolutePath)
+    val n = e.count()
+    val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    val base = e.filter(col("vec_id") % 2 === 1)
+    val arriving = e.filter(col("vec_id") % 2 === 0)
+    val queries = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+    val idx = operators.Similarity.ivfIndexDir(spark, s"$dir#refitbench")
+    val tBuild = time(operators.Similarity.ivfBuild(base, idx, nlist))
+    val bucket = pmod(xxhash64(col("vec_id")), lit(installments))
+    val tAppend = time((0 until installments).foreach(i =>
+      operators.Similarity.ivfAppend(arriving.filter(bucket === i), idx)))
+
+    // live appended-mass concentration + hottest live cell (the refit
+    // read rule applies — superseded pre-refit copies excluded)
+    def occ(ix: String): (Long, Double, Long) = {
+      val counts = operators.Similarity.ivfCells(spark, ix)
+        .filter(col("id") % 2 === 0)
+        .groupBy("cell").count().orderBy(desc("count"))
+        .select("count").collect().map(_.getLong(0))
+      val total = counts.sum.toDouble
+      (counts.length.toLong,
+        if (total == 0) 0.0 else counts.take(20).sum / total,
+        counts.headOption.getOrElse(0L))
+    }
+    def probe() = operators.Similarity
+      .ivfProbe(spark, idx, queries, K, nprobe = 4)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def probeWall(): Double = { probe(); (1 to 3).map(_ => time(probe())).min }
+    def nearDupRecall(): Double = {
+      val exactRows = operators.Similarity.knnTopK(e, queries, K)
+        .select("q_id", "neighbor_id", "cos").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      val nearDup = exactRows.collect { case (p, c) if c >= 0.99 => p }.toSet
+      val a = probe()
+      (nearDup & a).size.toDouble / math.max(nearDup.size, 1)
+    }
+
+    val (cells0, top20Before, hot0) = occ(idx)
+    val wallBefore = probeWall()
+    val recBefore = nearDupRecall()
+    val tRefit = time(
+      operators.Similarity.ivfRefit(spark, idx, capFactor = 4.0, maxSplit = 32))
+    val m1 = operators.Similarity.readManifest(idx).get
+    val (cells1, top20After, hot1) = occ(idx)
+    val wallAfter = probeWall()
+    val recAfter = nearDupRecall()
+    // the rebuild ceiling: what a full O(corpus) refit would recover
+    val idxR = operators.Similarity.ivfIndexDir(spark, s"$dir#refitrebuild")
+    val tRebuild = time(operators.Similarity.ivfBuild(e, idxR, nlist))
+    val (_, top20Reb, hotReb) = occ(idxR)
+    rmTree(new java.io.File(idx)); rmTree(new java.io.File(idxR)); rmTree(staged)
+
+    println(s"""{"ivf_refit":{"dir":"$dir","corpus":$n,"nlist":$nlist,""" +
+      s""""shift_frac":${fmt(frac, 2)},"installments":$installments,""" +
+      s""""build_half_sec":${fmt(tBuild)},"append_total_sec":${fmt(tAppend)},""" +
+      s""""refit_sec":${fmt(tRefit)},"rebuild_sec":${fmt(tRebuild)},""" +
+      s""""splits":${m1.nlist - nlist},"nlist_after":${m1.nlist},""" +
+      s""""appended_cells_before":$cells0,"appended_cells_after":$cells1,""" +
+      s""""top20_share_before":${fmt(top20Before, 3)},""" +
+      s""""top20_share_after":${fmt(top20After, 3)},""" +
+      s""""top20_share_rebuild":${fmt(top20Reb, 3)},""" +
+      s""""hot_cell_rows_before":$hot0,"hot_cell_rows_after":$hot1,""" +
+      s""""hot_cell_rows_rebuild":$hotReb,""" +
+      s""""probe_wall_before_sec":${fmt(wallBefore, 2)},""" +
+      s""""probe_wall_after_sec":${fmt(wallAfter, 2)},""" +
+      s""""neardup_recall_before":${fmt(recBefore, 3)},""" +
+      s""""neardup_recall_after":${fmt(recAfter, 3)}}}""")
+    spark.stop()
+  }
+
   private def compact(dir: String, batches: Int, shiftFrac: Option[Double]): Unit = {
     val spark = session()
     val raw = graft.sources.Tables.embeddings(spark, dir)

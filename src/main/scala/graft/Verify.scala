@@ -97,8 +97,21 @@ object Verify {
             false
           }
         }
-        if (!ok)
+        if (!ok) {
           System.err.println(s"[verify] $name EXHAUSTED retries — dump incomplete")
+          // Remove the partial parquet dir BOTH attempts may have left:
+          // with it present, the chain's dump-count gate (REG+1 entries)
+          // still passes, and for a NO-ORACLE query check_oracle.py then
+          // records err=no_oracle with hash_match=None — which the scale
+          // gates read as green. A twice-failed no-oracle query would
+          // slip through every gate on the strength of its own debris
+          // (oracled queries are still caught by the hash compare either
+          // way). Deleting makes the count gate genuinely fire.
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
+        }
         // Free the finished query's pinned blocks (localCheckpoint /
         // persist frames). Registered queries share state across the
         // registry ONLY through files (IVF index dirs, staged feeds) —

@@ -970,6 +970,370 @@ object Dedup {
         "k", "hot_shingles", "base_shingles", "appended_shingles")
   }
 
+  // =====================================================================
+  // STORED embedding near-dup index: [[embedPairsBanded]]'s banded
+  // sign-LSH blocking as a persisted artifact — the THIRD instance of the
+  // stored-artifact pattern (after the IVF index and the text
+  // [[NearDupIndex]]), giving continuous-ingest SEMANTIC dedup the same
+  // O(batch)-per-restart economics: without it, every probing session
+  // re-bands the whole corpus before its first batch.
+  // =====================================================================
+
+  /** The stored embed-index manifest. (rows, fingerprint) identify the
+    * RAW corpus (hygiene filtering is internal — additivity must hold
+    * over the frames callers actually pass); `bits` is FROZEN at build
+    * from the hygiene-filtered corpus count ([[embedBits]]'s law — the
+    * banding analogue of the text index's frozen census: appends band
+    * with the build's bits, so bucket occupancy drifts with exactly the
+    * `appendedRows / rows` staleness fraction, same signal, same remedy).
+    * `blockCols`/`blockTypes` carry the semantic key columns and their
+    * SQL types (comma-joined) for the catalog DDL; the rest follows
+    * [[NearDupManifest]]. */
+  final case class EmbedDupManifest(rows: Long, fingerprint: Long,
+                                    bands: Int, bits: Int, dim: Int,
+                                    buckets: Int, idCol: String,
+                                    vecCol: String, idType: String,
+                                    blockCols: Seq[String],
+                                    blockTypes: Seq[String],
+                                    appendedRows: Long = 0L,
+                                    batches: Seq[String] = Nil,
+                                    seq: Long = 0L,
+                                    lastRows: Long = 0L,
+                                    lastFp: Long = 0L)
+
+  /** The in-memory handle [[probeEmbedDups]] serves from: the corpus
+    * vectors (idCol, vecCol, blockCols...) for the cosine verify and the
+    * banded bucket rows (idCol, blockCols..., bk) for candidate
+    * generation. `bucketRoots` lists the bucket frame PER STORAGE ROOT
+    * when stored (base bucketed table + committed append batches) — the
+    * probe joins each root separately and unions matched candidates, the
+    * [[NearDupIndex.shingleRoots]] rule (corpus ids live in exactly one
+    * root). Empty = in-session single frame. */
+  final case class EmbedDupIndex(idCol: String, vecCol: String,
+                                 blockCols: Seq[String], bands: Int,
+                                 bits: Int, dim: Int,
+                                 vectors: DataFrame, buckets: DataFrame,
+                                 bucketRoots: Seq[DataFrame] = Nil)
+
+  /** Input hygiene shared by build/append/probe — [[embedPairsBanded]]'s
+    * rule verbatim: null vectors and any non-finite element are excluded
+    * (sign bits diverge cross-engine on NaN). */
+  private def embedFinite(df: DataFrame, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val sumSq = dot(col(vecCol), col(vecCol))
+    df.filter(col(vecCol).isNotNull &&
+      !isnan(sumSq) && sumSq =!= lit(Double.PositiveInfinity))
+  }
+
+  /** Banded signatures as ONE composed join key per (row, band):
+    * bk = band_idx << [[EmbedBitsMax]] | band_val — band_val < 2^bits ≤
+    * 2^[[EmbedBitsMax]], so the compose is collision-free, and a single
+    * BIGINT key is what the stored table buckets on (one bucket column →
+    * the candidate equi-join reads the base exchange-free). Planes are
+    * the [[embedPairsBanded]] stride (bit j of band b ↔ plane
+    * b·EmbedBitsMax + j), so in-session and stored banding are
+    * bit-identical at any frozen `bits`. */
+  private def embedSigs(base: DataFrame, idCol: String, vecCol: String,
+                        blockCols: Seq[String], bands: Int, bits: Int,
+                        dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions.lshBuckets
+    val ps = Similarity.planes(bands, EmbedBitsMax, dim)
+    val bandPlanes = Array.tabulate(bands * bits) { k =>
+      ps(k / bits * EmbedBitsMax + k % bits)
+    }
+    base.select(col(idCol) +: blockCols.map(col) :+
+        posexplode(lshBuckets(col(vecCol), bandPlanes, bits)): _*)
+      .withColumn("bk", shiftleft(col("pos").cast("long"), EmbedBitsMax) +
+        col("col").cast("long"))
+      .select(col(idCol) +: blockCols.map(col) :+ col("bk"): _*)
+  }
+
+  /** Build the [[EmbedDupIndex]] in-session (no artifacts) — the frame
+    * twin [[embedDupIndexWrite]] persists; DedupSpec pins stored ≡
+    * in-session probes. */
+  def embedDupIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    blockCols: Seq[String], bands: Int = EmbedBands,
+                    targetOccupancy: Long = EmbedOccupancy,
+                    dim: Int = EmbedDim): EmbedDupIndex = {
+    val base = embedFinite(corpus, vecCol)
+      .select((idCol +: vecCol +: blockCols).map(col): _*)
+      .localCheckpoint(true)
+    val bits = embedBits(base.count(), targetOccupancy)
+    val buckets = embedSigs(base, idCol, vecCol, blockCols, bands, bits, dim)
+      .localCheckpoint(true)
+    EmbedDupIndex(idCol, vecCol, blockCols, bands, bits, dim, base, buckets)
+  }
+
+  /** Probe a batch of NEW vectors against a prepared [[EmbedDupIndex]]:
+    * band the batch with the index's FROZEN bits, candidate-join each
+    * bucket root on (blockCols, bk), cosine-verify every candidate
+    * against `threshold`, and keep each batch vector's BEST corpus match
+    * (cos desc, corpus id asc — deterministic, the [[probeNearDups]]
+    * shape). O(|batch| + matched candidates); the corpus is never
+    * re-banded. Per-batch-row independence: every output row depends
+    * only on its own batch vector and the static index, so a chunked
+    * streaming probe unions to exactly the one-shot batch probe (the
+    * registered stream query shares the batch oracle on that license).
+    * The batch frame is pinned once (localCheckpoint) — inside
+    * foreachBatch it is RDD-backed, and the banding and verify joins
+    * must read the SAME arrived rows (the plan-invisible-leaf rule). */
+  def probeEmbedDups(ix: EmbedDupIndex, batch: DataFrame,
+                     threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val b = embedFinite(batch, ix.vecCol)
+      .select((ix.idCol +: ix.vecCol +: ix.blockCols).map(col): _*)
+      .localCheckpoint(true)
+    val bsig = embedSigs(b, ix.idCol, ix.vecCol, ix.blockCols,
+      ix.bands, ix.bits, ix.dim)
+    val roots =
+      if (ix.bucketRoots.nonEmpty) ix.bucketRoots else Seq(ix.buckets)
+    val keyCols = ix.blockCols :+ "bk"
+    val cand = roots
+      .map(r => bsig.toDF("bid" +: keyCols: _*)
+        .join(r.toDF("cid" +: keyCols: _*), keyCols)
+        .select(col("bid"), col("cid")))
+      .reduce(_ unionByName _).distinct()
+    val scored = cand
+      .join(b.select(col(ix.idCol).as("bid") +: col(ix.vecCol).as("__eb") +:
+        ix.blockCols.map(col): _*), "bid")
+      .join(ix.vectors.select(col(ix.idCol).as("cid"),
+        col(ix.vecCol).as("__ec")), "cid")
+      .withColumn("cos", cosine(col("__eb"), col("__ec")))
+      .filter(col("cos") >= threshold)
+    val w = Window.partitionBy("bid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("bid").as(ix.idCol) +: col("cid").as("dup_of") +:
+        ix.blockCols.map(col) :+ col("cos"): _*)
+  }
+
+  private def edManifestPath(dir: String) =
+    java.nio.file.Paths.get(dir, "manifest.json")
+
+  private def writeEdManifest(dir: String, m: EmbedDupManifest): Unit = {
+    val batchesJson = m.batches.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"rows":${m.rows},"fingerprint":${m.fingerprint},""" +
+      s""""bands":${m.bands},"bits":${m.bits},"dim":${m.dim},""" +
+      s""""buckets":${m.buckets},"id_col":"${m.idCol}",""" +
+      s""""vec_col":"${m.vecCol}","id_type":"${m.idType}",""" +
+      s""""block_cols":"${m.blockCols.mkString(",")}",""" +
+      s""""block_types":"${m.blockTypes.mkString(",")}","mv":1,""" +
+      s""""appended_rows":${m.appendedRows},"seq":${m.seq},""" +
+      s""""last_rows":${m.lastRows},"last_fp":${m.lastFp},""" +
+      s""""batches":$batchesJson}"""
+    val p = edManifestPath(dir)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling("manifest.json.tmp")
+    java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private[graft] def readEdManifest(dir: String): Option[EmbedDupManifest] = {
+    val p = edManifestPath(dir)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      def f(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1))
+      def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      def list(k: String) = str(k).map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val batches = """"batches":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      for (r <- f("rows"); fp <- f("fingerprint"); ba <- f("bands");
+           bi <- f("bits"); d <- f("dim"); bu <- f("buckets");
+           ic <- str("id_col"); vc <- str("vec_col"); it <- str("id_type"))
+        yield EmbedDupManifest(r.toLong, fp.toLong, ba.toInt, bi.toInt,
+          d.toInt, bu.toInt, ic, vc, it,
+          list("block_cols"), list("block_types"),
+          f("appended_rows").map(_.toLong).getOrElse(0L), batches,
+          f("seq").map(_.toLong).getOrElse(batches.size.toLong),
+          f("last_rows").map(_.toLong).getOrElse(0L),
+          f("last_fp").map(_.toLong).getOrElse(0L))
+    }
+  }
+
+  /** Catalog name of the stored embed index's bucketed bucket table
+    * (the [[shingleTable]] scheme — bucket metadata lives in the
+    * catalog). */
+  private[graft] def embedBucketTable(dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"graft_edix_$md5"
+  }
+
+  private val edValidated =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Long, String)]()
+
+  /** Session-scoped stored-index location for a dataset tag (the
+    * [[nearDupIndexDir]] scheme, `edix_` namespace). */
+  def embedDupIndexDir(s: org.apache.spark.sql.SparkSession, tag: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${s.sparkContext.applicationId}/edix_$md5").getAbsolutePath
+  }
+
+  /** PERSIST the [[EmbedDupIndex]] for a corpus under `dir`:
+    *  - `vectors.parquet` (idCol, vecCol, blockCols...): the
+    *    hygiene-filtered corpus vectors the probe's cosine verify joins;
+    *  - `buckets/`: the banded bucket rows (idCol, blockCols..., bk) as
+    *    a BUCKETED-BY-(`bk`, blockCols) external table — the candidate equi-join
+    *    reads the corpus side exchange-free in any session (the
+    *    [[nearDupIndexWrite]] layout rule);
+    *  - `manifest.json`: corpus identity + FROZEN banding parameters
+    *    ([[EmbedDupManifest]]).
+    * Build cost: one corpus banding pass + one identity scan. Run once
+    * per corpus snapshot; every later session [[embedDupIndexLoad]]s and
+    * pays only its own batches. SINGLE-WRITER per index dir. */
+  def embedDupIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                         blockCols: Seq[String], dir: String,
+                         bands: Int = EmbedBands,
+                         targetOccupancy: Long = EmbedOccupancy,
+                         dim: Int = EmbedDim, buckets: Int = 16): Unit = {
+    val s = corpus.sparkSession
+    val (n, fp) = docStats(corpus, idCol, vecCol)
+    require(n > 0, "embedDupIndexWrite: empty corpus")
+    val ix = embedDupIndex(corpus, idCol, vecCol, blockCols, bands,
+      targetOccupancy, dim)
+    ix.vectors.write.mode("overwrite").parquet(s"$dir/vectors.parquet")
+    val tbl = embedBucketTable(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    rmTree(new java.io.File(s"$dir/buckets"))
+    // bucketed by (bk, blockCols...) — ALL of the candidate join's keys:
+    // since Spark 3.3 co-partitioning requires every cluster key by
+    // default (spark.sql.requireAllClusterKeysForCoPartition), so a
+    // bucket spec on bk alone is planner-disabled for the (blockCols,
+    // bk) join and the corpus side would re-shuffle anyway
+    ix.buckets.repartition(buckets, col("bk") +: blockCols.map(col): _*)
+      .write.bucketBy(buckets, "bk", blockCols: _*).sortBy("bk", blockCols: _*)
+      .option("path", s"$dir/buckets").format("parquet")
+      .mode("overwrite").saveAsTable(tbl)
+    rmTree(new java.io.File(s"$dir/batches"))
+    rmTree(new java.io.File(s"$dir/_staging"))
+    writeEdManifest(dir, EmbedDupManifest(n, fp, bands, ix.bits, dim,
+      buckets, idCol, vecCol, corpus.schema(idCol).dataType.sql,
+      blockCols, blockCols.map(c => corpus.schema(c).dataType.sql)))
+    edValidated.put(dir, (ndCorpusKey(corpus), bands, targetOccupancy,
+      blockCols.mkString(",")))
+    ()
+  }
+
+  /** Serve a stored embed index: vectors from parquet, the base bucket
+    * rows through the catalog's BUCKETED table (re-registered via DDL in
+    * a fresh session), one bucket root per committed append batch.
+    * O(metadata) — no probe ever re-bands the corpus. */
+  def embedDupIndexLoad(s: org.apache.spark.sql.SparkSession,
+                        dir: String): EmbedDupIndex = {
+    val m = readEdManifest(dir).getOrElse(sys.error(
+      s"embedDupIndexLoad: no readable manifest under $dir — build first"))
+    val tbl = embedBucketTable(dir)
+    if (!s.catalog.tableExists(tbl)) {
+      val blockDdl = m.blockCols.zip(m.blockTypes)
+        .map { case (c, t) => s"`$c` $t, " }.mkString
+      val clusterCols = ("bk" +: m.blockCols).map(c => s"`$c`").mkString(", ")
+      s.sql(s"CREATE TABLE $tbl (`${m.idCol}` ${m.idType}, $blockDdl" +
+        s"`bk` BIGINT) USING parquet CLUSTERED BY ($clusterCols) " +
+        s"SORTED BY ($clusterCols) " +
+        s"INTO ${m.buckets} BUCKETS LOCATION '$dir/buckets'")
+    }
+    val base = s.table(tbl)
+    val roots = base +: m.batches.map(b =>
+      s.read.parquet(s"$dir/batches/$b/buckets.parquet"))
+    val vectors = (s.read.parquet(s"$dir/vectors.parquet") +:
+      m.batches.map(b => s.read.parquet(s"$dir/batches/$b/vectors.parquet")))
+      .reduce(_ unionByName _)
+    EmbedDupIndex(m.idCol, m.vecCol, m.blockCols, m.bands, m.bits, m.dim,
+      vectors, roots.reduce(_ unionByName _), roots)
+  }
+
+  /** Trust check for a stored embed index — the [[nearDupValid]]
+    * contract: completeness over base + every manifest-listed batch
+    * root, parameters equal, corpus (rows, fingerprint) equal. Memoized
+    * per (dir, corpus frame). */
+  def embedDupValid(corpus: DataFrame, idCol: String, vecCol: String,
+                    blockCols: Seq[String], dir: String,
+                    bands: Int = EmbedBands,
+                    targetOccupancy: Long = EmbedOccupancy): Boolean = {
+    val key = ndCorpusKey(corpus)
+    val memo = (key, bands, targetOccupancy, blockCols.mkString(","))
+    if (edValidated.get(dir) == memo) return true
+    def committed(p: String) = new java.io.File(s"$p/_SUCCESS").exists()
+    val valid = readEdManifest(dir).exists { m =>
+      m.bands == bands && m.idCol == idCol && m.vecCol == vecCol &&
+        m.blockCols == blockCols &&
+        committed(s"$dir/vectors.parquet") && committed(s"$dir/buckets") &&
+        m.batches.forall(b => committed(s"$dir/batches/$b/buckets.parquet") &&
+          committed(s"$dir/batches/$b/vectors.parquet")) && {
+          val (n, fp) = docStats(corpus, idCol, vecCol)
+          m.rows == n && m.fingerprint == fp
+        }
+    }
+    if (valid) edValidated.put(dir, memo)
+    valid
+  }
+
+  /** [[embedDupIndexWrite]] unless a VALID stored index for exactly this
+    * corpus is present, then [[embedDupIndexLoad]]. */
+  def embedDupIndexIfAbsent(corpus: DataFrame, idCol: String, vecCol: String,
+                            blockCols: Seq[String], dir: String,
+                            bands: Int = EmbedBands,
+                            targetOccupancy: Long = EmbedOccupancy,
+                            dim: Int = EmbedDim,
+                            buckets: Int = 16): EmbedDupIndex = {
+    if (!embedDupValid(corpus, idCol, vecCol, blockCols, dir, bands,
+        targetOccupancy))
+      embedDupIndexWrite(corpus, idCol, vecCol, blockCols, dir, bands,
+        targetOccupancy, dim, buckets)
+    embedDupIndexLoad(corpus.sparkSession, dir)
+  }
+
+  /** INCREMENTAL maintenance of the stored embed index: band a batch of
+    * ACCEPTED vectors with the FROZEN bits and append bucket + vector
+    * rows — the [[nearDupAppend]] protocol verbatim (stage → promote →
+    * one atomic manifest commit; deterministic batch id; (lastRows,
+    * lastFp) replay pair for the foreachBatch at-least-once window;
+    * additive fingerprint so [[embedDupValid]] of the union accepts the
+    * appended index). O(batch); the corpus artifacts are never touched.
+    * The frozen-bits drift contract mirrors the text family's frozen
+    * census: bucket occupancy decays with `appendedRows / rows`, the
+    * manifest fraction is the alert, re-[[embedDupIndexWrite]] is the
+    * remedy. SINGLE-WRITER per index dir. */
+  def embedDupAppend(batch: DataFrame, dir: String): Unit = {
+    val m = readEdManifest(dir).getOrElse(sys.error(
+      s"embedDupAppend: no readable manifest under $dir — build first"))
+    val (bn, bfp) = docStats(batch, m.idCol, m.vecCol)
+    if (bn == 0) return
+    if (m.lastRows == bn && m.lastFp == bfp) {
+      log.warn(s"embedDupAppend: batch (rows=$bn, fp=$bfp) matches the " +
+        s"last committed batch under $dir — treating as an at-least-once " +
+        "replay, skipping")
+      return
+    }
+    val batchId = f"b${m.seq + 1}%04d_${bn}_${java.lang.Long.toHexString(bfp)}"
+    val staging = s"$dir/_staging/$batchId"
+    val b = embedFinite(batch, m.vecCol)
+      .select((m.idCol +: m.vecCol +: m.blockCols).map(col): _*)
+      .localCheckpoint(true)
+    embedSigs(b, m.idCol, m.vecCol, m.blockCols, m.bands, m.bits, m.dim)
+      .write.mode("overwrite").parquet(s"$staging/buckets.parquet")
+    b.write.mode("overwrite").parquet(s"$staging/vectors.parquet")
+    val target = new java.io.File(s"$dir/batches/$batchId")
+    rmTree(target)
+    java.nio.file.Files.createDirectories(target.getParentFile.toPath)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging), target.toPath)
+    writeEdManifest(dir, m.copy(rows = m.rows + bn,
+      fingerprint = m.fingerprint + bfp,
+      appendedRows = m.appendedRows + bn, batches = m.batches :+ batchId,
+      seq = m.seq + 1, lastRows = bn, lastFp = bfp))
+    edValidated.remove(dir)
+    ()
+  }
+
   /** Embedding-cosine near-dup pairs, blocked: every within-block pair is
     * exactly verified against `threshold` ((v1, v2, blockCols..., cos),
     * v1 < v2).

@@ -98,12 +98,13 @@ object DedupQueries {
       |WHERE d.doc_id % 23 <> 0
       |ORDER BY d.doc_id""".stripMargin
 
-  /** Oracle shared by dedup_incremental and dedup_incremental_stream —
-    * the streaming spelling unions per-micro-batch probes of the SAME
-    * static corpus index, and each output row depends only on its own
-    * batch doc ([[Dedup.probeNearDups]]), so both registered queries are
-    * result-identical to this one batch SQL by construction. */
-  private val incrementalSql =
+  /** Oracle shared by dedup_incremental, dedup_incremental_stream, and
+    * sql_neardup_probe — the streaming spelling unions per-micro-batch
+    * probes of the SAME static corpus index and each output row depends
+    * only on its own batch doc ([[Dedup.probeNearDups]]); the SQL-text
+    * spelling probes the same stored artifacts through the catalog. All
+    * three are result-identical to this one batch SQL by construction. */
+  private[operators] val incrementalSql =
     """WITH w AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
       |  FROM documents),
@@ -459,6 +460,71 @@ object DedupQueries {
           .orderBy("v1", "v2")
       },
       Some(embedBandedSql)),
+
+    // Incremental SEMANTIC dedup from the STORED embed index (the third
+    // stored-artifact family): every 10th vector arrives as the "new
+    // batch" and is probed for embedding-cosine near-dups against the
+    // remaining 90% corpus, served from persisted artifacts
+    // (Dedup.embedDupIndexIfAbsent — vectors.parquet + the BUCKETED-BY-(bk, blockCols)
+    // banded bucket table + manifest). First invocation builds; every
+    // re-run validates the manifest and goes probe-only — the
+    // dedup_incremental contract applied to embeddings. Banding uses the
+    // index's FROZEN bits (embedBits of the corpus count — the frozen
+    // census analogue), which is exactly what the generated oracle's nb
+    // CTE computes, so the probe keeps the full hash oracle: sign bits,
+    // buckets, candidates and the verified cosine are all bit-identical
+    // in DuckDB. Output = each batch vector's BEST blocked corpus match
+    // (cos desc, corpus id asc) with NO threshold (-1): the registered
+    // query is the candidate-ranking REPORT — the driver corpus plants
+    // no true embedding near-dups, so a thresholded output would be
+    // legitimately empty at small scales, and the dedup DECISION
+    // (cosine >= the deployment's cutoff) belongs downstream of this
+    // report anyway; the thresholded path (planted dups at 0.9) is
+    // pinned in DedupSpec.
+    Q("dedup_embed_incremental",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+        val ix = Dedup.embedDupIndexIfAbsent(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          Seq("label"), Dedup.embedDupIndexDir(s, dir))
+        Dedup.probeEmbedDups(ix, e.filter(col("vec_id") % 10 === 0), -1.0)
+          .select(col("vec_id"), col("dup_of"), col("label"),
+            r6(col("cos")).as("cosine"))
+          .orderBy("vec_id")
+      },
+      Some(embedIncrementalSql)),
+
+    // STREAMING incremental semantic dedup: the same 90/10 split, but
+    // the arriving 10% lands as a STREAM (chunked feed, one
+    // Dedup.probeEmbedDups per micro-batch) against the stored embed
+    // index built/validated ONCE before the query starts — the
+    // continuous-ingest spelling of dedup_embed_incremental, sharing its
+    // index dir (whichever runs first builds, the other loads).
+    // Per-batch-row independence (every output row depends only on its
+    // own vector and the static index) means the union over
+    // micro-batches equals the one-shot probe under ANY chunking, so
+    // this shares the batch DuckDB oracle verbatim — the ELEVENTH
+    // streaming ≡ batch fact. Replay-idempotent (each micro-batch
+    // overwrites its own batch=<id> output dir); the probe pins the
+    // RDD-backed micro-batch frame (the plan-invisible-leaf rule).
+    StreamQ("dedup_embed_incremental_stream",
+      (s, dir) => {
+        import graft.streaming.WeatherStream
+        val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+        val ix = Dedup.embedDupIndexIfAbsent(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          Seq("label"), Dedup.embedDupIndexDir(s, dir))
+        val input = WeatherStream.chunkedFileFeedDF(
+          e.filter(col("vec_id") % 10 === 0), "vec_id",
+          WeatherStream.stagingDir("embed_inc_stream", dir))
+        WeatherStream.drainForeachBatch(input.df, "dedup_embed_incremental_stream",
+          b => Dedup.probeEmbedDups(ix, b, -1.0)
+            .select(col("vec_id"), col("dup_of"), col("label"),
+              r6(col("cos")).as("cosine")),
+          input)
+          .orderBy("vec_id")
+      },
+      Some(embedIncrementalSql)),
   )
 
   /** Generated DuckDB twin of [[Dedup.embedPairsBanded]] (4 bands ×
@@ -470,13 +536,13 @@ object DedupQueries {
     * reproduces [[Dedup.embedBits]]'s integer law from count(*) (nb CTE),
     * so the oracle tracks the engine's knob at ANY corpus size, not just
     * the driver's. */
-  private lazy val embedBandedSql: String = {
-    // derived from the SAME named constants the engine defaults to
-    // (Dedup.EmbedBands/EmbedDim/EmbedOccupancy, like EmbedBitsMax
-    // already was): an engine-side default change tracks automatically
-    // or fails the oracle compare loudly — never a silent desync
-    val (bands, dim, occ) =
-      (Dedup.EmbedBands, Dedup.EmbedDim, Dedup.EmbedOccupancy)
+  /** Shared generator pieces for the banded-LSH oracles (embedBandedSql
+    * and embedIncrementalSql): (bitsCase, bandCols, bandCase) SQL
+    * fragments over an `e(embedding)` source CTE and an `nb(bits)` CTE —
+    * both oracles must band IDENTICALLY to the engine's shared
+    * [[Dedup.embedSigs]]/[[Dedup.embedPairsBanded]] plane stride. */
+  private def embedSigPieces(bands: Int, dim: Int, occ: Long)
+      : (String, String, String) = {
     val bitsMax = Dedup.EmbedBitsMax
     val ps = Similarity.planes(bands, bitsMax, dim)
     def dotPlane(p: Int): String = {
@@ -492,6 +558,18 @@ object DedupQueries {
     }.mkString("(", "\n      + ", ")")
     val bandCols = (0 until bands).map(b => s"${bandVal(b)} AS b$b").mkString(",\n    ")
     val bandCase = (0 until bands).map(b => s"WHEN $b THEN b$b").mkString(" ")
+    (bitsCase, bandCols, bandCase)
+  }
+
+  private lazy val embedBandedSql: String = {
+    // derived from the SAME named constants the engine defaults to
+    // (Dedup.EmbedBands/EmbedDim/EmbedOccupancy, like EmbedBitsMax
+    // already was): an engine-side default change tracks automatically
+    // or fails the oracle compare loudly — never a silent desync
+    val (bands, dim, occ) =
+      (Dedup.EmbedBands, Dedup.EmbedDim, Dedup.EmbedOccupancy)
+    val bitsMax = Dedup.EmbedBitsMax
+    val (bitsCase, bandCols, bandCase) = embedSigPieces(bands, dim, occ)
     s"""WITH e AS (
        |  SELECT vec_id, label,
        |    CASE WHEN len(embedding) = $dim THEN embedding
@@ -523,5 +601,60 @@ object DedupQueries {
        |  FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2)
        |SELECT v1, v2, label, round(cos * 1e6) / 1e6 AS cosine
        |FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin
+  }
+
+  /** Generated DuckDB twin of the STORED embed-index probe
+    * ([[Dedup.embedDupIndexIfAbsent]] + [[Dedup.probeEmbedDups]], shared
+    * by dedup_embed_incremental and its streaming spelling): the same
+    * plane constants and fold order as [[embedBandedSql]], with two
+    * incremental-specific differences the engine makes — `bits` is
+    * FROZEN from the CORPUS count only (nb's nn filters to
+    * vec_id % 10 <> 0, mirroring the build-time freeze), and candidates
+    * are batch × corpus (no v1 < v2 self-pair rule). Best match per
+    * batch vector: row_number over (cos DESC, cid) on the RAW fold,
+    * rounding only in the output; NO cosine threshold (the registered
+    * report form — see the Q comment). */
+  private lazy val embedIncrementalSql: String = {
+    val (bands, dim, occ) =
+      (Dedup.EmbedBands, Dedup.EmbedDim, Dedup.EmbedOccupancy)
+    val bitsMax = Dedup.EmbedBitsMax
+    val (bitsCase, bandCols, bandCase) = embedSigPieces(bands, dim, occ)
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN len(embedding) = $dim THEN embedding
+       |         ELSE error('dedup_embed_incremental oracle: embedding dim <> $dim') END
+       |      AS embedding
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |    AND isfinite(list_sum(list_transform(range(1, len(embedding) + 1),
+       |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
+       |nb AS (
+       |  SELECT CASE $bitsCase ELSE $bitsMax END AS bits
+       |  FROM (SELECT count(*) AS nn FROM e WHERE vec_id % 10 <> 0)),
+       |sig AS (
+       |  SELECT vec_id, label,
+       |    $bandCols
+       |  FROM e CROSS JOIN nb),
+       |banded AS (
+       |  SELECT vec_id, label, bi.band_idx,
+       |    CASE bi.band_idx $bandCase END AS band_val
+       |  FROM sig CROSS JOIN (SELECT unnest(${(0 until bands).mkString("[", ", ", "]")}) AS band_idx) bi),
+       |cand AS (
+       |  SELECT DISTINCT y.vec_id AS bid, x.vec_id AS cid, y.label
+       |  FROM banded y JOIN banded x
+       |    ON y.label = x.label AND y.band_idx = x.band_idx
+       |   AND y.band_val = x.band_val
+       |   AND y.vec_id % 10 = 0 AND x.vec_id % 10 <> 0),
+       |p AS (
+       |  SELECT c.bid, c.cid, c.label,
+       |    ${SimilarityQueries.cosineSql("a.embedding", "b.embedding")} AS cos
+       |  FROM cand c JOIN e a ON a.vec_id = c.bid JOIN e b ON b.vec_id = c.cid),
+       |r AS (
+       |  SELECT bid, cid, label, cos,
+       |    row_number() OVER (PARTITION BY bid ORDER BY cos DESC, cid) AS rn
+       |  FROM p)
+       |SELECT bid AS vec_id, cid AS dup_of, label,
+       |  round(cos * 1e6) / 1e6 AS cosine
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 }

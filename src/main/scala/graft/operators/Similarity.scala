@@ -71,9 +71,29 @@ object Similarity {
   def knn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.toDF("q_id", "q_emb")
     val c = widen(corpus.toDF("neighbor_id", "c_emb"))
+    // SIZE-DERIVED sort width (the §7.3f rule): the ranking window
+    // shuffles EVERY candidate pair on q_id, so its per-task sort input
+    // is |queries|·|corpus| / partitions rows — under the session
+    // default (8 partitions on the sf10 Verify harness) that was a
+    // multi-GB per-task sort and the registry's one
+    // UNABLE_TO_ACQUIRE_MEMORY spot (burned sim_knn's only retry at
+    // 20 g). The explicit repartition REPLACES the window's own exchange
+    // (hash on q_id satisfies the window's required clustering — one
+    // shuffle either way, only the width changes), targeting ~1M pair
+    // rows per sort task; pairs are uniform per q_id (every query ranks
+    // the whole corpus), so the split is skew-free with a floor of one
+    // query's corpus-length list per task. Cheap to size: two count
+    // jobs over frames the plan scans anyway. knnTopK needs none of
+    // this — its aggregation buffer is bounded by construction.
+    val pairParts = {
+      val parallelism = c.sparkSession.sparkContext.defaultParallelism
+      val pairs = q.count() * c.count()
+      math.max(parallelism, math.min(1 << 14, pairs / 1000000L).toInt)
+    }
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor_id"))
     c.join(broadcast(q), col("q_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .repartition(pairParts, col("q_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -330,7 +350,12 @@ object Similarity {
                                seq: Long = 0L,
                                lastRows: Long = 0L,
                                lastFp: Long = 0L,
-                               mv: Int = 1)
+                               mv: Int = 1,
+                               mseq: Long = 0L,
+                               cbv: Long = 0L,
+                               nlist0: Int = 0,
+                               refitRows: Long = 0L,
+                               refits: Seq[(Long, Seq[Int])] = Nil)
 
   /** Manifest LAYOUT version. v1 = everything before the explicit field
     * (including manifests that already carry last_rows/last_fp); v2 =
@@ -355,11 +380,16 @@ object Similarity {
     * deployment fronts the manifest with its store's conditional-put. */
   private def writeManifest(indexDir: String, m: IvfManifest): Unit = {
     val batchesJson = m.batches.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val refitsJson = m.refits
+      .map { case (rs, cs) => s"""{"seq":$rs,"cells":[${cs.mkString(",")}]}""" }
+      .mkString("[", ",", "]")
     val json = s"""{"rows":${m.rows},"fingerprint":${m.fingerprint},""" +
       s""""nlist":${m.nlist},"dim":${m.dim},"fpv":${m.fpv},""" +
-      s""""mv":$ManifestVersion,""" +
+      s""""mv":$ManifestVersion,"mseq":${m.mseq},""" +
       s""""appended_rows":${m.appendedRows},"seq":${m.seq},""" +
       s""""last_rows":${m.lastRows},"last_fp":${m.lastFp},""" +
+      s""""cbv":${m.cbv},"nlist0":${m.nlist0},""" +
+      s""""refit_rows":${m.refitRows},"refits":$refitsJson,""" +
       s""""batches":$batchesJson}"""
     val p = manifestPath(indexDir)
     java.nio.file.Files.createDirectories(p.getParent)
@@ -371,16 +401,71 @@ object Similarity {
     ()
   }
 
+  /** CHECKED manifest replace — turns the single-writer contract into an
+    * enforced one. The manifest read-modify-write is not atomic ACROSS
+    * writers; before this guard, two racing appends could both commit and
+    * one batch's manifest delta was silently lost (after which
+    * [[ivfValid]] of the true union fails closed into a rebuild —
+    * correct, but an O(corpus) fit paid for a coordination bug). The CAS:
+    * every mutation claims a sequencer file `_commits/m<mseq+1>` with
+    * CREATE_NEW — the filesystem's atomic create-if-absent — whose
+    * content is the mutation's deterministic token (batch/compact id).
+    * Exactly one writer per mseq can create it; the loser gets
+    * FileAlreadyExistsException and FAILS LOUDLY with the winner's token,
+    * its staged (uncommitted, invisible) data intact for a retry against
+    * the fresh manifest. A crash BETWEEN claim and manifest write is
+    * recovered by the token match: the same mutation retried re-reads the
+    * old manifest, claims the same mseq, finds its OWN token, and
+    * proceeds to the manifest write (idempotent — stage dirs are
+    * overwrite-by-id). [[ivfBuild]] resets the sequencer tree with the
+    * rest of the index. POSIX/HDFS give CREATE_NEW exactly-once; an
+    * object-store deployment maps this to its conditional-put. */
+  private def casWriteManifest(indexDir: String, expected: IvfManifest,
+                               next: IvfManifest, token: String): Unit = {
+    val marker = java.nio.file.Paths.get(
+      indexDir, "_commits", s"m${expected.mseq + 1}")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    try {
+      java.nio.file.Files.write(marker, token.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val winner = new String(
+          java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        if (winner != token)
+          throw new IllegalStateException(
+            s"ivf manifest CAS lost: commit seq ${expected.mseq + 1} under " +
+              s"$indexDir was already claimed by '$winner' (this writer: " +
+              s"'$token') — concurrent mutation detected; re-read the " +
+              "manifest and retry this mutation against the fresh state")
+      // winner == token: our own crashed attempt — fall through and
+      // (re-)publish the manifest
+    }
+    writeManifest(indexDir, next.copy(mseq = expected.mseq + 1))
+  }
+
   private[graft] def readManifest(indexDir: String): Option[IvfManifest] = {
     val p = manifestPath(indexDir)
     if (!java.nio.file.Files.exists(p)) None
     else {
       val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      // f() finds the FIRST occurrence of `"k":<int>` — safe because
+      // writeManifest emits every top-level numeric field BEFORE the
+      // `refits` array (whose entries also carry a "seq" key)
       def f(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1))
       val batches = """"batches":\[([^\]]*)\]""".r.findFirstMatchIn(s)
         .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
+      // refit entries are the only `{"seq":N,"cells":[...]}` shapes in the
+      // document, so a global scan is unambiguous
+      val refits = """\{"seq":(\d+),"cells":\[([^\]]*)\]\}""".r
+        .findAllMatchIn(s).map { mm =>
+          (mm.group(1).toLong,
+            mm.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+              .map(_.toInt).toSeq)
+        }.toSeq
       for (r <- f("rows"); fp <- f("fingerprint"); nl <- f("nlist"); d <- f("dim"))
         yield IvfManifest(r.toLong, fp.toLong, nl.toInt, d.toInt,
           f("fpv").map(_.toInt).getOrElse(1),
@@ -391,7 +476,19 @@ object Similarity {
           f("seq").map(_.toLong).getOrElse(batches.size.toLong),
           f("last_rows").map(_.toLong).getOrElse(0L),
           f("last_fp").map(_.toLong).getOrElse(0L),
-          f("mv").map(_.toInt).getOrElse(1))
+          f("mv").map(_.toInt).getOrElse(1),
+          // pre-CAS manifests: seed the sequencer at the append count
+          // (seq, falling back to batches.size exactly like seq itself
+          // does) — a mixed-era dir whose appends already claimed
+          // markers m1..mN must not re-claim them, and a wholly legacy
+          // dir has no sequencer tree at all, so any seed is safe there
+          f("mseq").map(_.toLong)
+            .orElse(f("seq").map(_.toLong))
+            .getOrElse(batches.size.toLong),
+          f("cbv").map(_.toLong).getOrElse(0L),
+          f("nlist0").map(_.toInt).getOrElse(0),
+          f("refit_rows").map(_.toLong).getOrElse(0L),
+          refits)
     }
   }
 
@@ -452,12 +549,17 @@ object Similarity {
       (counts.length.toLong, if (total == 0) 0.0 else top.toDouble / total)
     }
     val (occ, topShare) = census(ivfCells(s, indexDir).select("cell"), m.rows)
+    // batch-space census over LIVE rows (refit-superseded cells excluded
+    // per root — same read rule as serving), so a refit visibly lowers
+    // the concentration alert it exists to remedy; the denominator is
+    // the live batch-space total (appends + refit-relocated rows)
     val (aOcc, aTopShare) =
       if (m.batches.isEmpty) (0L, 0.0)
       else census(
-        m.batches.map(b => s.read.parquet(s"$indexDir/batches/$b/cells.parquet"))
+        m.batches.map(b =>
+            readRoot(s, s"$indexDir/batches/$b/cells.parquet", rootSeq(b), m))
           .reduce(_ unionByName _).select("cell"),
-        m.appendedRows)
+        m.appendedRows + m.refitRows)
     Seq((m.rows, m.appendedRows,
         if (m.rows == 0) 0.0 else m.appendedRows.toDouble / m.rows,
         m.batches.size, m.nlist, m.dim, occ, topShare, aOcc, aTopShare))
@@ -477,6 +579,46 @@ object Similarity {
     s"$indexDir/$a" +: batches.map(b => s"$indexDir/batches/$b/$a")
   }
 
+  /** Mutation sequence number a root was committed at: the base build is
+    * 0, batch roots carry it as their id prefix (`b<seq>_`, `c<seq>_`,
+    * `r<seq>_`). [[ivfRefit]]'s exclusion rule keys on it. */
+  private def rootSeq(batchId: String): Long =
+    "^[bcr](\\d+)".r.findFirstMatchIn(batchId).map(_.group(1).toLong).getOrElse(0L)
+
+  /** Cells whose data in a root committed at `seq` is SUPERSEDED by a
+    * later refit root: every refit with refitSeq > seq relocated its
+    * split cells' live rows (base + all then-existing batches) into its
+    * own root, so older copies must not serve. */
+  private def deadCells(m: IvfManifest, seq: Long): Seq[Int] =
+    m.refits.collect { case (rs, cs) if rs > seq => cs }.flatten.distinct
+
+  /** One root's LIVE cell data: the raw scan minus refit-superseded
+    * cells. The exclusion is a partition-column NOT-IN — pushed to
+    * partition pruning, so a dead cell's files are never opened. */
+  private def readRoot(s: SparkSession, path: String, seq: Long,
+                       m: IvfManifest): DataFrame = {
+    val df = s.read.parquet(path)
+    val dead = deadCells(m, seq)
+    if (dead.isEmpty) df else df.filter(!col("cell").isin(dead: _*))
+  }
+
+  /** (path, commit seq) of every root holding artifact `a`. */
+  private def rootsWithSeq(indexDir: String, a: String,
+                           m: IvfManifest): Seq[(String, Long)] =
+    (s"$indexDir/$a", 0L) +:
+      m.batches.map(b => (s"$indexDir/batches/$b/$a", rootSeq(b)))
+
+  private def manifestOrEmpty(indexDir: String): IvfManifest =
+    readManifest(indexDir).getOrElse(IvfManifest(0L, 0L, 0, 0))
+
+  /** Path of the CURRENT codebook artifact: the build writes
+    * `codebook.parquet` (version 0); every [[ivfRefit]] stages a new
+    * `codebook_v<cbv>.parquet` and flips the manifest — old versions
+    * stay behind for readers that planned against the old manifest. */
+  private def codebookPath(indexDir: String, m: IvfManifest): String =
+    if (m.cbv == 0L) s"$indexDir/codebook.parquet"
+    else s"$indexDir/codebook_v${m.cbv}.parquet"
+
   /** The stored float-cell data as ONE frame (base + committed batches) —
     * what [[ivfProbe]] serves from; exposed for inspection/tests.
     *
@@ -487,14 +629,18 @@ object Similarity {
     * across the union comes from the probes' STATIC cell-set filter
     * (see [[probedCellSet]]) — runtime DPP cannot reach scans under a
     * Union, so the probes don't rely on it. */
-  private[graft] def ivfCells(s: SparkSession, indexDir: String): DataFrame =
-    cellRoots(indexDir, "cells.parquet")
-      .map(s.read.parquet(_)).reduce(_ unionByName _)
+  private[graft] def ivfCells(s: SparkSession, indexDir: String): DataFrame = {
+    val m = manifestOrEmpty(indexDir)
+    rootsWithSeq(indexDir, "cells.parquet", m)
+      .map { case (p, sq) => readRoot(s, p, sq, m) }.reduce(_ unionByName _)
+  }
 
   /** The stored int8-cell data as one frame (base + committed batches). */
-  private[graft] def ivfCellsI8(s: SparkSession, indexDir: String): DataFrame =
-    cellRoots(indexDir, "cells_i8.parquet")
-      .map(s.read.parquet(_)).reduce(_ unionByName _)
+  private[graft] def ivfCellsI8(s: SparkSession, indexDir: String): DataFrame = {
+    val m = manifestOrEmpty(indexDir)
+    rootsWithSeq(indexDir, "cells_i8.parquet", m)
+      .map { case (p, sq) => readRoot(s, p, sq, m) }.reduce(_ unionByName _)
+  }
 
   /** OFFLINE index build: fit the coarse quantizer and persist the index
     * artifacts under `indexDir` —
@@ -554,8 +700,9 @@ object Similarity {
     // closed into another rebuild, never serves the torn state)
     rmTree(new java.io.File(s"$indexDir/batches"))
     rmTree(new java.io.File(s"$indexDir/_staging"))
+    rmTree(new java.io.File(s"$indexDir/_commits"))
     writeManifest(indexDir,
-      IvfManifest(n, fp, nlist, dim, FingerprintVersion))
+      IvfManifest(n, fp, nlist, dim, FingerprintVersion, nlist0 = nlist))
     validated.put(indexDir, (corpusKey(c), nlist))
   }
 
@@ -610,7 +757,14 @@ object Similarity {
       .forall(a => cellRoots(indexDir, a)
         .forall(r => new java.io.File(s"$r/_SUCCESS").exists()))
     val valid = complete && readManifest(indexDir).exists { m =>
-      m.fpv == FingerprintVersion && m.nlist == nlist && {
+      // nlist is compared against the BUILT codebook size (nlist0):
+      // ivfRefit grows the current nlist by splitting hot cells, and a
+      // refit index must keep serving the caller that built at the
+      // original nlist — a refit is maintenance, not a different index
+      val builtNlist = if (m.nlist0 > 0) m.nlist0 else m.nlist
+      m.fpv == FingerprintVersion && builtNlist == nlist &&
+        new java.io.File(
+          s"${codebookPath(indexDir, m)}/_SUCCESS").exists() && {
         val (n, fp, _) = corpusStats(c)
         m.rows == n && m.fingerprint == fp
       }
@@ -684,13 +838,15 @@ object Similarity {
     * fingerprint — so a retry of a torn append overwrites its own
     * leftovers and re-stages O(batch), never an O(corpus) rebuild.
     *
-    * SINGLE-WRITER contract, like every other mutation of `indexDir`:
-    * the manifest read-modify-write is not atomic ACROSS WRITERS, so
-    * concurrent appends (or an append racing a rebuild) can lose one
-    * batch's manifest delta — after which [[ivfValid]] of the true union
-    * FAILS CLOSED into a rebuild rather than serving silently. Ingest
-    * pipelines serialize appends per index, the same way they serialize
-    * the builds. */
+    * SINGLE-WRITER contract — now CHECKED, not just documented: the
+    * commit goes through [[casWriteManifest]]'s create-if-absent
+    * sequencer, so of two racing appends (or an append racing a compact)
+    * exactly one commits and the loser throws with its staged data
+    * intact for a retry against the fresh manifest — the silent
+    * lost-delta (which [[ivfValid]] then turned into an O(corpus)
+    * rebuild) is no longer reachable. A rebuild racing an append remains
+    * out of scope (the rebuild resets the sequencer; deployments pause
+    * ingest around the rare scheduled re-[[ivfBuild]]). */
   def ivfAppend(batch: DataFrame, indexDir: String): Unit =
     ivfAppendStage(batch, indexDir).foreach { case (m, id, bn, bfp) =>
       ivfAppendPromote(indexDir, id)
@@ -745,7 +901,7 @@ object Similarity {
     require(bdim == m.dim,
       s"ivfAppend: batch vector width $bdim != index dim ${m.dim}")
     val s = b.sparkSession
-    val ctrRows = s.read.parquet(s"$indexDir/codebook.parquet")
+    val ctrRows = s.read.parquet(codebookPath(indexDir, m))
       .select("cell", "ctr").orderBy("cell").collect()
     require(ctrRows.length == m.nlist,
       s"ivfAppend: codebook has ${ctrRows.length} cells, manifest says ${m.nlist}")
@@ -794,10 +950,11 @@ object Similarity {
     * the read set). This single rename IS the append's commit point. */
   private[graft] def ivfAppendCommit(indexDir: String, m: IvfManifest,
                                      batchId: String, bn: Long, bfp: Long): Unit = {
-    writeManifest(indexDir,
+    casWriteManifest(indexDir, m,
       m.copy(rows = m.rows + bn, fingerprint = m.fingerprint + bfp,
         appendedRows = m.appendedRows + bn, batches = m.batches :+ batchId,
-        seq = m.seq + 1, lastRows = bn, lastFp = bfp))
+        seq = m.seq + 1, lastRows = bn, lastFp = bfp),
+      token = batchId)
     // the stored index no longer corresponds to any frame validated
     // before this append
     validated.remove(indexDir)
@@ -900,10 +1057,16 @@ object Similarity {
     val compactId = f"c${m.seq}%04d_${m.appendedRows}_" +
       java.lang.Long.toHexString(m.fingerprint)
     val staging = s"$indexDir/_staging/$compactId"
-    // per-root reads + union (sibling partitioned roots — the ivfCells rule)
+    // per-root reads + union (sibling partitioned roots — the ivfCells
+    // rule), LIVE rows only: a pre-refit batch root's split-cell rows are
+    // superseded by the refit root and must not be folded back in
     def foldRead(a: String): DataFrame =
-      m.batches.map(b => s.read.parquet(s"$indexDir/batches/$b/$a"))
+      m.batches.map(b =>
+          readRoot(s, s"$indexDir/batches/$b/$a", rootSeq(b), m))
         .reduce(_ unionByName _)
+    // live rows the fold must reproduce: appends' own rows plus the
+    // base-origin rows refits relocated into batch space
+    val expectRows = m.appendedRows + m.refitRows
     // SIZE-AWARE RE-CLUSTER (hot-cell task/file split): the fold hashes
     // cells into tasks so each cell lands in ONE task → one file per cell
     // per artifact (the ivfBuild layout rule) — the right layout while the
@@ -920,7 +1083,7 @@ object Similarity {
     // The census costs one partition-column-only pass over the batch
     // roots (footer reads — the ivfStats economics); the split map is at
     // most nlist/4 entries, broadcast.
-    val meanLoad = math.max(1L, m.appendedRows / m.nlist)
+    val meanLoad = math.max(1L, expectRows / m.nlist)
     val capRows = 4L * meanLoad
     val splits: Map[Int, Long] = foldRead("cells.parquet").groupBy("cell")
       .agg(count(lit(1)).as("cnt")).collect()
@@ -944,12 +1107,18 @@ object Similarity {
       clustered.write.mode("overwrite").partitionBy("cell").parquet(s"$staging/$a")
     }
     val folded = s.read.parquet(s"$staging/cells.parquet").count()
-    require(folded == m.appendedRows,
+    require(folded == expectRows,
       s"ivfCompact: folded ${folded} rows but the manifest says " +
-        s"${m.appendedRows} were appended — batch data under $indexDir " +
+        s"$expectRows live in batch roots (${m.appendedRows} appended + " +
+        s"${m.refitRows} refit-relocated) — batch data under $indexDir " +
         "is torn; not committing")
     ivfAppendPromote(indexDir, compactId)
-    writeManifest(indexDir, m.copy(batches = Seq(compactId)))
+    // CAS against the manifest state the fold READ (m0 — the backfilled
+    // `m` differs only in recovered replay fields): an append that
+    // committed while the fold ran would otherwise be silently dropped
+    // from the batch list
+    casWriteManifest(indexDir, m0, m.copy(batches = Seq(compactId)),
+      token = compactId)
     // DEFERRED post-commit sweep (reader grace period — see scaladoc):
     // keep the dirs this fold just superseded (m.batches) for one more
     // compaction cycle; remove only older unlisted dirs — the previous
@@ -961,13 +1130,182 @@ object Similarity {
       s"(${m.appendedRows} rows) into $compactId under $indexDir")
   }
 
+  /** HOT-CELL PARTIAL REFIT — restore the probe's nprobe/nlist
+    * scan-fraction economics at O(hot cells) cost, not O(corpus).
+    *
+    * The problem it closes (RECALL.md shift mode): distribution-shifted
+    * ingest crams the appended mass into few cells (measured top-20
+    * share 53.6% vs 2.7% stationary at the 2×10⁶ decade). Near-dup
+    * recall provably survives (a query and its near-dup co-assign under
+    * ANY fixed codebook), but a probe that ranks a hot cell scans that
+    * cell's whole population — the scan-fraction guarantee decays, and
+    * before this operator the only remedy was a full O(corpus)
+    * [[ivfBuild]] (290.6 s at 2×10⁷, RECALL.md).
+    *
+    * The refit: census LIVE occupancy (partition-column scan), take the
+    * cells holding more than `capFactor`× the mean index load (at most
+    * `maxSplit` per invocation, fullest first), and for each — fit a
+    * LOCAL 2-means on the cell's own rows (hash-sampled to
+    * [[fitSampleSize]](2) rows, the build's sampling rule), REPLACE the
+    * cell's centroid with one child and APPEND the other as a fresh cell
+    * id. The split cells' live rows (base + every batch root) are
+    * reassigned between the two children — one bounded argmin pass over
+    * O(hot rows) — and land in a new refit root `batches/r<seq>_…`; the
+    * new codebook is staged as `codebook_v<cbv+1>.parquet`. Everything
+    * is invisible until the one CAS manifest commit flips {nlist, cbv,
+    * batches, refits} together.
+    *
+    * READ RULE after a refit (enforced in [[readRoot]] via the
+    * manifest's `refits` list): a root committed BEFORE the refit
+    * excludes the split cells — their live copies moved to the refit
+    * root — while roots committed after (appends assigned under the NEW
+    * codebook, later refit/compact roots) serve all their cells. The
+    * exclusion is a partition-column NOT-IN, so pruning still never
+    * opens a dead cell's files. [[ivfCompact]] folds refit roots like
+    * any batch root (its row guard accounts the relocated base rows via
+    * `refitRows`), and folded roots carry a seq ≥ the refit's, so the
+    * fold is exclusion-clean.
+    *
+    * WHAT A REFIT PRESERVES: the row multiset — ids and vectors are
+    * untouched, only cell labels change — so `rows`/`fingerprint` (and
+    * [[ivfValid]] of the same corpus at the BUILT nlist) are unchanged.
+    * `appendedRows` deliberately survives: drift-of-centroids is a
+    * property of rows assigned off-build, and only a rebuild refits them
+    * globally — the refit narrows the hot cells without resetting the
+    * staleness gauge. Assignment becomes HIERARCHICAL rather than a
+    * global argmin (unsplit cells' rows are not revisited, so a new
+    * child centroid never "steals" a neighboring cell's rows) — for an
+    * IVF the cell is a blocking key and the probe ranks exactly, so
+    * this trades at most ANN recall at the margin, measured in
+    * SimilaritySpec against planted near-dups.
+    *
+    * CRASH RECOVERY: the stage → promote → CAS-commit protocol of
+    * [[ivfAppend]], with a deterministic refit id from the manifest
+    * state — a retry overwrites its own torn leftovers; a crash
+    * anywhere before the manifest commit leaves the old index serving.
+    * Old codebook versions are left behind for readers that planned
+    * against the old manifest (same grace posture as compaction's
+    * deferred sweep). SINGLE-WRITER per index, CAS-checked like every
+    * other mutation.
+    *
+    * @return the number of cells split (0 = no cell past the cap; the
+    *         index is untouched). */
+  def ivfRefit(s: SparkSession, indexDir: String, capFactor: Double = 4.0,
+               maxSplit: Int = 16): Int = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val m = readManifest(indexDir).getOrElse(sys.error(
+      s"ivfRefit: no readable manifest under $indexDir"))
+    require(m.fpv == FingerprintVersion,
+      s"ivfRefit: manifest fingerprint algorithm v${m.fpv} != current " +
+        s"v$FingerprintVersion — rebuild the index")
+    require(capFactor > 0 && maxSplit > 0,
+      s"ivfRefit: capFactor=$capFactor and maxSplit=$maxSplit must be > 0")
+    // live-occupancy census: partition-column-only scan (footer reads,
+    // the ivfStats economics), ≤ nlist rows collected
+    val counts: Map[Int, Long] = ivfCells(s, indexDir).groupBy("cell")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cap = (capFactor * math.max(1L, m.rows / math.max(1, m.nlist))).toLong
+    val hot: Seq[Int] = counts.toSeq.filter(_._2 > cap)
+      .sortBy { case (c, n) => (-n, c) }.take(maxSplit).map(_._1)
+    if (hot.isEmpty) {
+      log.info(s"ivfRefit: no cell above ${cap} rows under $indexDir — no-op")
+      return 0
+    }
+    val hotRows = hot.map(counts).sum
+    val cbRows = s.read.parquet(codebookPath(indexDir, m))
+      .select("cell", "ctr").orderBy("cell").collect()
+    require(cbRows.length == m.nlist,
+      s"ivfRefit: codebook has ${cbRows.length} cells, manifest says ${m.nlist}")
+    val newCtrs = scala.collection.mutable.ArrayBuffer(
+      cbRows.map(_.getSeq[Double](1).toArray): _*)
+    val live = ivfCells(s, indexDir).select("id", "emb", "cell")
+    val target = fitSampleSize(2)
+    val M = 1L << 40
+    // per hot cell: sample-fit a 2-means on the cell's own rows, then one
+    // bounded argmin pass relabels them between (old id, fresh id)
+    val pieces = hot.zipWithIndex.map { case (c, i) =>
+      val newId = m.nlist + i
+      val rowsC = live.filter(col("cell") === c).select("id", "emb")
+      val nC = counts(c)
+      val fitBase =
+        if (nC <= target) rowsC
+        else rowsC.filter(pmod(xxhash64(col("id")), lit(M)) <
+          lit(math.min(M, math.ceil(1.2 * target.toDouble / nC * M).toLong)))
+      val two: Array[Array[Double]] = new KMeans().setK(2).setSeed(42)
+        .setMaxIter(5).setFeaturesCol("__fv").setPredictionCol("__p")
+        .fit(fitBase.withColumn("__fv",
+          array_to_vector(col("emb").cast("array<double>"))))
+        .clusterCenters.map(_.toArray)
+      newCtrs(c) = two(0)
+      newCtrs += two(1)
+      rowsC.select(col("id"), col("emb"),
+        when(argMinDistSq(col("emb"), two).getField("j") === 0, lit(c))
+          .otherwise(lit(newId)).as("cell"))
+    }
+    val refitId = f"r${m.seq + 1}%04d_${hotRows}_" +
+      java.lang.Long.toHexString(m.fingerprint)
+    val staging = s"$indexDir/_staging/$refitId"
+    // one relabel pass feeds both artifacts (the ivfBuild layout rule:
+    // cluster by cell before the partitioned write — one task per
+    // output cell, so a split cell's children land as one file each)
+    val persisted = pieces.reduce(_ unionByName _)
+      .repartition(2 * hot.size, col("cell"))
+      .localCheckpoint(true)
+    persisted.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/cells.parquet")
+    persisted
+      .withColumn("scale", Embeddings.i8Scale(col("emb")))
+      .withColumn("qcode",
+        quantize(col("emb"), col("scale")).cast("array<tinyint>"))
+      .select("id", "qcode", "scale", "cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/cells_i8.parquet")
+    val staged = s.read.parquet(s"$staging/cells.parquet").count()
+    require(staged == hotRows,
+      s"ivfRefit: staged $staged rows but the census counted $hotRows " +
+        s"live in the split cells — data under $indexDir moved during " +
+        "the refit; not committing")
+    // stage the grown codebook under its next version (unreferenced
+    // until the manifest flips)
+    newCtrs.toSeq.zipWithIndex.map { case (ctr, j) => (j, ctr) }
+      .toDF("cell", "ctr").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/codebook_v${m.cbv + 1}.parquet")
+    // rows newly relocated OUT of the base root (for ivfCompact's
+    // row-count guard): hot cells not already dead in the base
+    val alreadyDead = deadCells(m, 0L).toSet
+    val newFromBase = hot.filterNot(alreadyDead)
+    val baseHotLive =
+      if (newFromBase.isEmpty) 0L
+      else s.read.parquet(s"$indexDir/cells.parquet")
+        .filter(col("cell").isin(newFromBase: _*)).count()
+    ivfAppendPromote(indexDir, refitId)
+    casWriteManifest(indexDir, m, m.copy(
+      nlist = m.nlist + hot.size,
+      nlist0 = if (m.nlist0 > 0) m.nlist0 else m.nlist,
+      cbv = m.cbv + 1,
+      batches = m.batches :+ refitId,
+      seq = m.seq + 1,
+      refitRows = m.refitRows + baseHotLive,
+      refits = m.refits :+ ((m.seq + 1) -> hot)),
+      token = refitId)
+    log.info(s"ivfRefit: split ${hot.size} hot cells ($hotRows rows, " +
+      s"cap $cap) into $refitId under $indexDir — nlist ${m.nlist} -> " +
+      s"${m.nlist + hot.size}")
+    hot.size
+  }
+
   /** ONLINE probe against a stored index: read + broadcast the codebook,
     * rank each query's nprobe nearest cells, scan ONLY those cells'
     * members (partition-pruned read of `cells.parquet`), exact cosine +
     * bounded top-k on the candidates. Output shape matches [[knn]]. */
   def ivfProbe(s: SparkSession, indexDir: String, queries: DataFrame,
                k: Int, nprobe: Int): DataFrame = {
-    val codebook = s.read.parquet(s"$indexDir/codebook.parquet")
+    val codebook = s.read.parquet(
+      codebookPath(indexDir, manifestOrEmpty(indexDir)))
     val cells = ivfCells(s, indexDir)
       .select(col("id"), col("emb"), col("cell"))
     ivfRank(cells, codebook, queries, k, nprobe)
@@ -995,7 +1333,8 @@ object Similarity {
     * serving bottleneck. Output shape matches [[knn]]. */
   def ivfProbeI8(s: SparkSession, indexDir: String, queries: DataFrame,
                  k: Int, nprobe: Int): DataFrame = {
-    val codebook = s.read.parquet(s"$indexDir/codebook.parquet")
+    val codebook = s.read.parquet(
+      codebookPath(indexDir, manifestOrEmpty(indexDir)))
     val codes = ivfCellsI8(s, indexDir)
       .select(col("id").as("neighbor_id"), col("qcode").as("c_code"), col("cell"))
     val qd = queries.toDF("q_id", "q_emb")

@@ -249,6 +249,38 @@ object SimilarityQueries {
       },
       None),
 
+    // HOT-CELL PARTIAL REFIT of the stored index — the maintenance loop
+    // the sim_ivf_stats gauge opens, closed: build on 90%, append the
+    // 10%, then Similarity.ivfRefit splits the fullest cells (here
+    // capFactor = 1.0 / maxSplit = 4 so a split always happens on the
+    // test corpus's never-perfectly-uniform cells; a deployment keeps
+    // the 4× default and lets the gauge trigger it) via LOCAL 2-means on
+    // each hot cell's own rows — O(hot cells), not the O(corpus) rebuild
+    // that was previously the only remedy for the measured 53.6%
+    // shift-mode concentration (RECALL.md). The probe then serves the
+    // refit index: grown codebook (codebook_v1), refit root, pre-refit
+    // roots excluding the split cells (the manifest `refits` read rule).
+    // ivfValid(union) still gates — a refit preserves rows/fingerprint
+    // exactly (only cell labels move) and compares nlist against the
+    // BUILT nlist — so session re-runs go probe-only like the rest of
+    // the family. Sketch family → rows-only check; row-multiset
+    // preservation, probe recall vs exact, census improvement, and the
+    // crash/CAS seams are pinned in SimilaritySpec.
+    Q("sim_knn_ivf_refit",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val idx = Similarity.ivfIndexDir(s, dir + "#refit")
+        if (!Similarity.ivfValid(e, idx, nlist = 16)) {
+          Similarity.ivfBuild(e.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
+          Similarity.ivfAppend(e.filter(col("vec_id") % 10 === 0), idx)
+          Similarity.ivfRefit(s, idx, capFactor = 1.0, maxSplit = 4)
+        }
+        Similarity.ivfProbe(s, idx, e.filter(col("vec_id") % 50 === 0), K, nprobe = 2)
+          .select(col("q_id"), col("rank"), col("neighbor_id"), r6(col("cos")).as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     // Approximate top-k via multi-table hyperplane LSH (8 tables × 8 bits).
     Q("sim_knn_lsh",
       (s, dir) => {

@@ -277,5 +277,60 @@ object SqlQueries {
              |ORDER BY doc_id""".stripMargin)
       },
       Some(DedupQueries.decontamSql)),
+
+    // The stored near-dup index probed in PURE SQL TEXT — the dedup
+    // family's last Scala-only surface closed. The Scala side only
+    // ensures the STORED index exists (Dedup.nearDupIndexIfAbsent —
+    // shares dedup_incremental's index dir: whichever runs first builds,
+    // and this index never carries append roots, so the base table IS
+    // the whole corpus side); everything else is spark.sql: the injected
+    // shingle_hash shingles the arriving batch, the stop-shingle filter
+    // reads the stored census via parquet.`hot.parquet`, per-doc corpus
+    // sizes via parquet.`sizes.parquet`, and the candidate equi-join
+    // probes the CATALOG-REGISTERED bucketed shingle table — so a SQL
+    // caller gets the same exchange-free corpus side as the Scala probe
+    // (bucket metadata lives in the catalog; the sql_decontam design).
+    // A SQL caller probing an index WITH append roots adds one UNION
+    // ALL term per batch root (parquet.`batches/<id>/shingles.parquet`)
+    // — the manifest lists them. Result-identical to dedup_incremental
+    // by construction → shares its DuckDB oracle verbatim.
+    Q("sql_neardup_probe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        docs.createOrReplaceTempView("graft_documents")
+        val ixDir = Dedup.nearDupIndexDir(s, dir)
+        Dedup.nearDupIndexIfAbsent(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+          "doc_id", "text", ixDir)
+        val tbl = Dedup.shingleTable(ixDir)
+        s.sql(
+          s"""WITH bw AS (
+             |  SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS words
+             |  FROM graft_documents WHERE doc_id % 10 = 0),
+             |bs AS (
+             |  SELECT doc_id, s
+             |  FROM (SELECT doc_id, words FROM bw WHERE size(words) >= 3)
+             |  LATERAL VIEW explode(array_distinct(shingle_hash(words, 3))) AS s
+             |  WHERE s NOT IN (SELECT s FROM parquet.`$ixDir/hot.parquet`)),
+             |szb AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY 1),
+             |p AS (
+             |  SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS inter
+             |  FROM bs b JOIN $tbl c USING (s) GROUP BY 1, 2),
+             |j AS (
+             |  SELECT bid, cid, inter, sb.n AS n_batch, sc.n AS n_corpus,
+             |         CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) AS jac
+             |  FROM p JOIN szb sb ON sb.doc_id = bid
+             |         JOIN (SELECT doc_id, n FROM parquet.`$ixDir/sizes.parquet`) sc
+             |           ON sc.doc_id = cid
+             |  WHERE CAST(inter AS DOUBLE) / (sb.n + sc.n - inter) >= 0.5),
+             |r AS (
+             |  SELECT bid, cid, inter, n_batch, n_corpus, jac,
+             |    row_number() OVER (PARTITION BY bid ORDER BY jac DESC, cid) AS rn
+             |  FROM j)
+             |SELECT bid AS doc_id, cid AS dup_of, inter, n_batch, n_corpus,
+             |       round(jac * 1e6) / 1e6 AS jaccard
+             |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+      },
+      Some(DedupQueries.incrementalSql)),
   )
 }

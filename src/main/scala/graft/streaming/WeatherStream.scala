@@ -168,7 +168,12 @@ object WeatherStream {
       * 100× decade where a chunk file is ~100× the copy window (observed:
       * win_session_stream failing BOTH sf10 Verify attempts on
       * arrival-0000{1,2}). Idempotent (REPLACE_EXISTING on both steps)
-      * so a crashed-and-rerun harness stays safe. */
+      * so a crashed-and-rerun harness stays safe. The final rename
+      * deletes any existing target FIRST: the javadoc leaves
+      * ATOMIC_MOVE + REPLACE_EXISTING implementation-specific (POSIX
+      * rename replaces; other providers may throw), and delete-then-move
+      * keeps the publish atomic either way — the temp name is hidden, so
+      * the visible file goes missing-then-complete, never half-copied. */
     def advance(): Boolean =
       if (next >= chunkDirs.length) false
       else {
@@ -179,9 +184,10 @@ object WeatherStream {
           val tmp = new java.io.File(live, s".$name.inprogress").toPath
           java.nio.file.Files.copy(f.toPath, tmp,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          java.nio.file.Files.move(tmp, new java.io.File(live, name).toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val target = new java.io.File(live, name).toPath
+          java.nio.file.Files.deleteIfExists(target)
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
         next += 1
         true

@@ -451,4 +451,82 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("event_id") =!= col("keeper")).count()
     assert(mismatches === 0L)
   }
+
+  test("stored embed index: stored ≡ in-session; bucketed scan; append + replay; planted recall") {
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("edix_").toFile.getAbsolutePath
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // threshold -1 (the registered report form): every batch vector's
+    // best blocked match — a strong nonempty frame for the equality pin
+    val inSession = key(Dedup.probeEmbedDups(
+      Dedup.embedDupIndex(corpus, "vec_id", "embedding", Seq("label")),
+      batch, -1.0))
+    assert(inSession.nonEmpty)
+    Dedup.embedDupIndexWrite(corpus, "vec_id", "embedding", Seq("label"), dir)
+    // simulate a NEW session: drop the catalog entry — the load must
+    // re-register the bucketed bucket table via DDL from the manifest
+    spark.sql(s"DROP TABLE IF EXISTS ${Dedup.embedBucketTable(dir)}")
+    val ix = Dedup.embedDupIndexLoad(spark, dir)
+    assert(key(Dedup.probeEmbedDups(ix, batch, -1.0)) === inSession,
+      "stored-index probe must equal the in-session probe exactly")
+    // frozen bits: the stored index bands with the BUILD corpus's bit
+    // count, and the in-session twin above computed the same law
+    assert(ix.bits === Dedup.embedBits(
+      corpus.filter(col("embedding").isNotNull).count(), Dedup.EmbedOccupancy))
+    // the candidate equi-join reads the corpus side exchange-free (the
+    // bucketed-table layout rule the text index pinned)
+    val bsig = ix.bucketRoots.head
+    val probe = spark.range(3).select(col("id").as("vec_id"),
+      (col("id") % 2).cast("int").as("label"), col("id").as("bk"))
+    val j = probe.hint("merge").join(bsig, Seq("label", "bk"))
+    j.write.format("noop").mode("overwrite").save()
+    val planStr = j.queryExecution.executedPlan.toString
+    assert(planStr.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
+    assert("Exchange hashpartitioning".r.findAllIn(planStr).size === 1,
+      s"bucketed bucket side must not shuffle:\n$planStr")
+    // validity gate
+    assert(Dedup.embedDupValid(corpus, "vec_id", "embedding", Seq("label"), dir))
+    assert(!Dedup.embedDupValid(emb, "vec_id", "embedding", Seq("label"), dir),
+      "a different corpus must not validate")
+    // planted near-dups served through the stored index: nudged clones of
+    // corpus vectors must come back as their originals' best match
+    assert(emb.head().getSeq[Float](2).length === Dedup.EmbedDim)
+    def clones(rows: Array[org.apache.spark.sql.Row], offset: Long) =
+      rows.map { r =>
+        val v = r.getSeq[Float](2).toArray
+        v(0) = v(0) + 0.01f
+        (r.getLong(0) + offset, r.getInt(1), v.toSeq)
+      }.toSeq.toDF("vec_id", "label", "embedding")
+    val cRows = corpus.filter(col("vec_id") < 6).collect()
+    assert(cRows.nonEmpty)
+    val hits = Dedup.probeEmbedDups(ix, clones(cRows, 10000L), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    cRows.foreach { r =>
+      assert(hits.get(r.getLong(0) + 10000L).contains(r.getLong(0)),
+        s"planted clone of ${r.getLong(0)} not matched: $hits")
+    }
+    // APPEND: the batch joins the index (frozen bits), fingerprint
+    // additivity validates the union, and appended vectors are findable
+    Dedup.embedDupAppend(batch, dir)
+    val ma = Dedup.readEdManifest(dir).get
+    assert(ma.appendedRows === batch.count() && ma.batches.size === 1)
+    assert(Dedup.embedDupValid(emb, "vec_id", "embedding", Seq("label"), dir),
+      "the union frame must validate the appended index (additive fingerprint)")
+    val ix2 = Dedup.embedDupIndexLoad(spark, dir)
+    val bRows = batch.filter(col("vec_id") < 40).collect()
+    assert(bRows.nonEmpty)
+    val hits2 = Dedup.probeEmbedDups(ix2, clones(bRows, 20000L), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    bRows.foreach { r =>
+      assert(hits2.get(r.getLong(0) + 20000L).contains(r.getLong(0)),
+        s"appended vector ${r.getLong(0)} not found via the stored index: $hits2")
+    }
+    // at-least-once replay window: re-appending the LAST batch is a no-op
+    Dedup.embedDupAppend(batch, dir)
+    assert(Dedup.readEdManifest(dir).get === ma)
+  }
 }

@@ -363,10 +363,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
 
     Similarity.ivfCompact(spark, idx)
     val m1 = Similarity.readManifest(idx).get
-    // ONLY the batch list changes: rows/fingerprint/appendedRows/seq/
+    // ONLY the batch list changes (plus the CAS sequencer's mseq, which
+    // every manifest mutation bumps): rows/fingerprint/appendedRows/seq/
     // lastRows/lastFp all survive (fingerprint-neutral by construction)
     assert(m1.batches.size === 1)
-    assert(m1.copy(batches = Nil) === m0.copy(batches = Nil))
+    assert(m1.mseq === m0.mseq + 1)
+    assert(m1.copy(batches = Nil, mseq = m0.mseq) === m0.copy(batches = Nil))
     // DEFERRED sweep (reader grace period): the just-superseded batch
     // dirs remain on disk alongside the fold — they vanish only at the
     // NEXT compact
@@ -733,5 +735,114 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(filesPerCell.values.min === 1, s"cold cells over-split: $filesPerCell")
     // serving is unchanged through the split fold
     assert(pairs() === before)
+  }
+
+  test("ivfRefit splits hot cells: rows preserved, recall kept, concentration recovered") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_refit_").toFile.getAbsolutePath
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
+    val dim = emb.head().getSeq[Float](1).length
+    // the shifted regime: a tight far-off clump co-assigns to ONE cell
+    // (the RECALL.md shift mode in miniature) — the probe's scan-fraction
+    // guarantee is what decays, and refit is the O(hot cells) remedy
+    val far = (0 until 400).map(i =>
+      (9100000L + i, Seq.tabulate(dim)(j => 10.0f + (if (j == 0) i * 1e-4f else 0f))))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfAppend(far, idx)
+    Similarity.ivfAppend(emb.filter(col("vec_id") % 10 === 0), idx)
+    val union = emb.union(far)
+    val m0 = Similarity.readManifest(idx).get
+    def liveCellCounts() = Similarity.ivfCells(spark, idx)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = liveCellCounts()
+    val hotBefore = before.values.max
+    // planted queries: nudged clones of clump members — their near-dups
+    // are in the hot cell, exactly what the split must not lose
+    val queries = (0 until 20).map { i =>
+      (9200000L + i, Seq.tabulate(dim)(j =>
+        10.0f + (if (j == 0) i * 1e-4f + 1e-5f else 0f)))
+    }.toDF("vec_id", "embedding")
+    def top1() = Similarity.ivfProbe(spark, idx, queries, 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val exactTop1 = Similarity.knn(union, queries, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(top1() === exactTop1, "pre-refit probe must find the planted dups")
+
+    val splits = Similarity.ivfRefit(spark, idx, capFactor = 2.0, maxSplit = 4)
+    assert(splits > 0, "the clump cell must be past 2x the mean load")
+    val m1 = Similarity.readManifest(idx).get
+    // a refit moves LABELS, never rows: corpus identity is untouched and
+    // the union frame still validates at the BUILT nlist
+    assert((m1.rows, m1.fingerprint) === (m0.rows, m0.fingerprint))
+    assert(m1.nlist === m0.nlist + splits && m1.nlist0 === 16 && m1.cbv === 1L)
+    assert(m1.refits.nonEmpty && m1.refitRows >= 0L)
+    assert(Similarity.ivfValid(union.filter(lit(true)), idx, nlist = 16),
+      "refit index must keep validating for the same corpus at the built nlist")
+    // exact row-multiset preservation through the exclusion read rule
+    val live = Similarity.ivfCells(spark, idx)
+    assert(live.count() === m0.rows)
+    assert(live.groupBy("id").count().filter(col("count") > 1).count() === 0L,
+      "pre-refit copies of split-cell rows must be excluded from serving")
+    assert(Similarity.ivfCellsI8(spark, idx).count() === m0.rows)
+    // concentration recovered: the hottest live cell shrank (the clump
+    // split), codebook grew to match
+    val after = liveCellCounts()
+    assert(after.values.max < hotBefore,
+      s"hot cell not reduced: max ${after.values.max} vs $hotBefore")
+    assert(after.keys.max >= 16, "split cells must land in fresh cell ids")
+    // recall equivalence: the refit index serves the planted near-dups
+    // exactly like the exact ranking (split index ≡ rebuilt ceiling)
+    assert(top1() === exactTop1, "post-refit probe must keep planted recall")
+    // compact AFTER refit: the fold excludes superseded copies, accounts
+    // relocated base rows (refitRows), and serving is unchanged
+    Similarity.ivfCompact(spark, idx)
+    val mc = Similarity.readManifest(idx).get
+    assert(mc.batches.size === 1)
+    assert(Similarity.ivfCells(spark, idx).count() === m0.rows)
+    assert(top1() === exactTop1, "probe unchanged through the post-refit fold")
+    // a refit pass whose cap nothing reaches is a no-op (4.0 is NOT used
+    // here: the real corpus's natural k-means cells can legitimately sit
+    // past 4x the mean — the no-op contract is "no cell past cap, index
+    // untouched", pinned with a cap no cell reaches)
+    assert(Similarity.ivfRefit(spark, idx, capFactor = 1000.0, maxSplit = 4) === 0)
+  }
+
+  test("manifest CAS: of two racing appends exactly one commits, the loser throws") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf_cas_").toFile.getAbsolutePath
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 10 =!= 0), idx, nlist = 16)
+    val b1 = emb.filter(col("vec_id") % 20 === 0)
+    val b2 = emb.filter(col("vec_id") % 20 === 10)
+    // both writers stage against the SAME manifest state — the lost-delta
+    // race that used to cost a silent rebuild
+    val Some((m1, id1, n1, fp1)) = Similarity.ivfAppendStage(b1, idx)
+    val Some((m2, id2, n2, fp2)) = Similarity.ivfAppendStage(b2, idx)
+    Similarity.ivfAppendPromote(idx, id1)
+    Similarity.ivfAppendCommit(idx, m1, id1, n1, fp1) // winner
+    Similarity.ivfAppendPromote(idx, id2)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfAppendCommit(idx, m2, id2, n2, fp2) // loser: must throw
+    }
+    assert(e.getMessage.contains("CAS lost"))
+    // the index is exactly build ∪ b1 — the loser's batch is invisible
+    val m = Similarity.readManifest(idx).get
+    assert(m.batches === Seq(id1))
+    assert(Similarity.ivfValid(
+      emb.filter(col("vec_id") % 10 =!= 0 || col("vec_id") % 20 === 0),
+      idx, nlist = 16))
+    // the loser retries against the FRESH manifest and lands normally
+    Similarity.ivfAppend(b2, idx)
+    assert(Similarity.ivfValid(emb.filter(lit(true)), idx, nlist = 16))
+    // crash-between-claim-and-publish: re-running the SAME commit finds
+    // its own token on the sequencer and (re-)publishes idempotently
+    val mPre = Similarity.readManifest(idx).get
+    val Some((m3, id3, n3, fp3)) =
+      Similarity.ivfAppendStage(emb.filter(col("vec_id") % 20 === 5), idx)
+    Similarity.ivfAppendPromote(idx, id3)
+    Similarity.ivfAppendCommit(idx, m3, id3, n3, fp3)
+    Similarity.ivfAppendCommit(idx, m3, id3, n3, fp3) // retry: no throw
+    val mPost = Similarity.readManifest(idx).get
+    assert(mPost.batches === mPre.batches :+ id3,
+      "an idempotent commit retry must not duplicate the batch")
+    assert(mPost.mseq === mPre.mseq + 1)
   }
 }
