@@ -46,6 +46,22 @@ object Bench {
           h.info.command.map[Boolean](_.contains("java")).orElse(false)
       }
     }
+    // PAGE-CACHE FINGERPRINT — the r16 hole: load1/other_jvms certify
+    // CPU quiet but are blind to filesystem state, and the round's own
+    // adjudication proved a cache-churned box (post-sf10-Verify) inflates
+    // the many-small-file families 2-13x with load1 1.65 and zero other
+    // JVMs. /proc/meminfo Cached at start is the evidence: a fresh boot
+    // or an explicit drop_caches reads near zero; a box that just
+    // digested a big-decade leg reads tens of GB. The chain drops caches
+    // before timed legs; this field lets the artifact flag itself when
+    // that discipline was skipped. -1 = unreadable (non-Linux).
+    val cachedMb: Long = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("Cached:") => l.split("\\s+")(1).toLong / 1024
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Exception => -1L }
     if (otherJvms > 0 || loadAtStart > 2.0)
       System.err.println(f"[bench] WARNING: contended box at start — " +
         f"load1=$loadAtStart%.2f, other JVMs=$otherJvms; timings below " +
@@ -198,7 +214,7 @@ object Bench {
         s""","total_prev_registry":${num("%.3f", sub.map(_._2).sum)},"n_prev_registry":${sub.length}"""
       }
     }
-    val env = s""","load1":${num("%.2f", loadAtStart)},"other_jvms":$otherJvms"""
+    val env = s""","load1":${num("%.2f", loadAtStart)},"other_jvms":$otherJvms,"cached_mb":$cachedMb"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"streaming_sec":$streamingSec,"streaming_n":$streamingN$prevRegistryJson$env,"sf":"$sfDir"}""")
     // Full-precision, uncapped dump for offline analysis (scaling curves):
     // SPARK_GRAFT_BENCH_OUT=path writes every query's timing to a file,

@@ -605,7 +605,8 @@ object Dedup {
     * shingle table in a NEW session. (`appendedRows`, `batches`, `seq`,
     * `lastRows`, `lastFp`) have exactly the [[Similarity.IvfManifest]]
     * semantics: staleness signal, reader commit log, monotone append
-    * counter, replay-detection pair. */
+    * counter, replay-detection pair; `mseq` is the CAS commit sequence
+    * ([[casCommit]] — every mutation claims `_commits/m<mseq+1>`). */
   final case class NearDupManifest(rows: Long, fingerprint: Long, k: Int,
                                    fracPpm: Long, buckets: Int,
                                    idCol: String, textCol: String,
@@ -614,7 +615,8 @@ object Dedup {
                                    batches: Seq[String] = Nil,
                                    seq: Long = 0L,
                                    lastRows: Long = 0L,
-                                   lastFp: Long = 0L)
+                                   lastFp: Long = 0L,
+                                   mseq: Long = 0L)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -643,7 +645,7 @@ object Dedup {
     val json = s"""{"rows":${m.rows},"fingerprint":${m.fingerprint},""" +
       s""""k":${m.k},"frac_ppm":${m.fracPpm},"buckets":${m.buckets},""" +
       s""""id_col":"${m.idCol}","text_col":"${m.textCol}",""" +
-      s""""id_type":"${m.idType}","mv":1,""" +
+      s""""id_type":"${m.idType}","mv":1,"mseq":${m.mseq},""" +
       s""""appended_rows":${m.appendedRows},"seq":${m.seq},""" +
       s""""last_rows":${m.lastRows},"last_fp":${m.lastFp},""" +
       s""""batches":$batchesJson}"""
@@ -676,7 +678,12 @@ object Dedup {
           f("appended_rows").map(_.toLong).getOrElse(0L), batches,
           f("seq").map(_.toLong).getOrElse(batches.size.toLong),
           f("last_rows").map(_.toLong).getOrElse(0L),
-          f("last_fp").map(_.toLong).getOrElse(0L))
+          f("last_fp").map(_.toLong).getOrElse(0L),
+          // LEGACY seed (the IVF family's r16 lesson): a pre-CAS-era
+          // manifest whose appends may already have claimed markers
+          // m1..mN must seed mseq from the append count, never 0
+          f("mseq").map(_.toLong).getOrElse(
+            f("seq").map(_.toLong).getOrElse(batches.size.toLong)))
     }
   }
 
@@ -710,6 +717,46 @@ object Dedup {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete()
     ()
+  }
+
+  /** CHECKED manifest commit for BOTH dedup manifests —
+    * [[Similarity.casWriteManifest]]'s sequencer protocol, shared: the
+    * mutation claims `_commits/m<mseq+1>` with CREATE_NEW (the
+    * filesystem's atomic create-if-absent) carrying its deterministic
+    * token. Exactly one writer per mseq wins; the loser throws with the
+    * winner's token and its staged (invisible) data intact for a retry
+    * against the fresh manifest — before this guard two racing appends
+    * could both commit and one batch's manifest delta was silently lost.
+    * Own-token recovery (a crashed attempt retried) re-publishes
+    * idempotently UNLESS the live manifest is already past the expected
+    * mseq — the original commit landed, so replaying would regress the
+    * manifest and erase any later commit. `liveMseq` re-reads the live
+    * manifest's mseq; `publish` performs the actual manifest replace
+    * (called with the claimed mseq). */
+  private[graft] def casCommit(dir: String, expectedMseq: Long, token: String,
+                        liveMseq: => Option[Long])(
+                        publish: Long => Unit): Unit = {
+    val marker = java.nio.file.Paths.get(dir, "_commits", s"m${expectedMseq + 1}")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    try {
+      java.nio.file.Files.write(marker, token.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val winner = new String(
+          java.nio.file.Files.readAllBytes(marker), "UTF-8")
+        if (winner != token)
+          throw new IllegalStateException(
+            s"dedup manifest CAS lost: commit seq ${expectedMseq + 1} under " +
+              s"$dir was already claimed by '$winner' (this writer: " +
+              s"'$token') — concurrent mutation detected; re-read the " +
+              "manifest and retry this mutation against the fresh state")
+    }
+    if (liveMseq.exists(_ > expectedMseq))
+      log.info(s"dedup manifest CAS: commit seq ${expectedMseq + 1} under " +
+        s"$dir already published — idempotent replay, not rewriting")
+    else publish(expectedMseq + 1)
   }
 
   /** Session-scoped stored-index location for a dataset tag (under
@@ -762,9 +809,11 @@ object Dedup {
       .option("path", s"$dir/shingles").format("parquet")
       .mode("overwrite").saveAsTable(tbl)
     // a rebuild supersedes appended batches (same ordering as ivfBuild:
-    // clear BEFORE the manifest commit — a crash in between fails closed)
+    // clear BEFORE the manifest commit — a crash in between fails
+    // closed); the CAS sequencer tree resets with the rest of the index
     rmTree(new java.io.File(s"$dir/batches"))
     rmTree(new java.io.File(s"$dir/_staging"))
+    rmTree(new java.io.File(s"$dir/_commits"))
     writeNdManifest(dir, NearDupManifest(n, fp, k, fracPpm(maxDocFrac),
       buckets, idCol, textCol, corpus.schema(idCol).dataType.sql))
     ndValidated.put(dir, (ndCorpusKey(corpus), k, fracPpm(maxDocFrac)))
@@ -880,10 +929,12 @@ object Dedup {
     rmTree(target)
     java.nio.file.Files.createDirectories(target.getParentFile.toPath)
     java.nio.file.Files.move(java.nio.file.Paths.get(staging), target.toPath)
-    writeNdManifest(dir, m.copy(rows = m.rows + bn,
-      fingerprint = m.fingerprint + bfp,
-      appendedRows = m.appendedRows + bn, batches = m.batches :+ batchId,
-      seq = m.seq + 1, lastRows = bn, lastFp = bfp))
+    casCommit(dir, m.mseq, batchId, readNdManifest(dir).map(_.mseq)) { ms =>
+      writeNdManifest(dir, m.copy(rows = m.rows + bn,
+        fingerprint = m.fingerprint + bfp,
+        appendedRows = m.appendedRows + bn, batches = m.batches :+ batchId,
+        seq = m.seq + 1, lastRows = bn, lastFp = bfp, mseq = ms))
+    }
     ndValidated.remove(dir)
     ()
   }
@@ -938,7 +989,9 @@ object Dedup {
     rmTree(target)
     java.nio.file.Files.createDirectories(target.getParentFile.toPath)
     java.nio.file.Files.move(java.nio.file.Paths.get(staging), target.toPath)
-    writeNdManifest(dir, m.copy(batches = Seq(compactId)))
+    casCommit(dir, m.mseq, compactId, readNdManifest(dir).map(_.mseq)) { ms =>
+      writeNdManifest(dir, m.copy(batches = Seq(compactId), mseq = ms))
+    }
     // corpus identity (rows, fingerprint, k, fracPpm) is unchanged by a
     // fold, so an existing ndValidated memo stays correct — not cleared
     Option(new java.io.File(s"$dir/batches").listFiles()).foreach(
@@ -987,8 +1040,10 @@ object Dedup {
     * with the build's bits, so bucket occupancy drifts with exactly the
     * `appendedRows / rows` staleness fraction, same signal, same remedy).
     * `blockCols`/`blockTypes` carry the semantic key columns and their
-    * SQL types (comma-joined) for the catalog DDL; the rest follows
-    * [[NearDupManifest]]. */
+    * SQL types (JSON arrays — a parameterized type like DECIMAL(10,2)
+    * contains a comma, so a comma-joined string would re-split into
+    * garbage and corrupt the DDL [[embedDupIndexLoad]] issues) for the
+    * catalog DDL; the rest follows [[NearDupManifest]]. */
   final case class EmbedDupManifest(rows: Long, fingerprint: Long,
                                     bands: Int, bits: Int, dim: Int,
                                     buckets: Int, idCol: String,
@@ -999,7 +1054,8 @@ object Dedup {
                                     batches: Seq[String] = Nil,
                                     seq: Long = 0L,
                                     lastRows: Long = 0L,
-                                    lastFp: Long = 0L)
+                                    lastFp: Long = 0L,
+                                    mseq: Long = 0L)
 
   /** The in-memory handle [[probeEmbedDups]] serves from: the corpus
     * vectors (idCol, vecCol, blockCols...) for the cosine verify and the
@@ -1110,16 +1166,16 @@ object Dedup {
     java.nio.file.Paths.get(dir, "manifest.json")
 
   private def writeEdManifest(dir: String, m: EmbedDupManifest): Unit = {
-    val batchesJson = m.batches.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"rows":${m.rows},"fingerprint":${m.fingerprint},""" +
       s""""bands":${m.bands},"bits":${m.bits},"dim":${m.dim},""" +
       s""""buckets":${m.buckets},"id_col":"${m.idCol}",""" +
       s""""vec_col":"${m.vecCol}","id_type":"${m.idType}",""" +
-      s""""block_cols":"${m.blockCols.mkString(",")}",""" +
-      s""""block_types":"${m.blockTypes.mkString(",")}","mv":1,""" +
+      s""""block_cols":${arr(m.blockCols)},""" +
+      s""""block_types":${arr(m.blockTypes)},"mv":2,"mseq":${m.mseq},""" +
       s""""appended_rows":${m.appendedRows},"seq":${m.seq},""" +
       s""""last_rows":${m.lastRows},"last_fp":${m.lastFp},""" +
-      s""""batches":$batchesJson}"""
+      s""""batches":${arr(m.batches)}}"""
     val p = edManifestPath(dir)
     java.nio.file.Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling("manifest.json.tmp")
@@ -1137,12 +1193,17 @@ object Dedup {
       val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       def f(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1))
       def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
-      def list(k: String) = str(k).map(
-        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      val batches = """"batches":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
+      def jarr(k: String): Option[Seq[String]] =
+        s""""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(s).map(
+          _.group(1).split("\",\"").map(_.trim.stripPrefix("\"")
+            .stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+      // mv:2 stores block_cols/block_types as JSON arrays (a
+      // parameterized type like DECIMAL(10,2) contains a comma); the
+      // mv:1 legacy form was a comma-joined string — split it on comma,
+      // which was only ever correct for comma-free types
+      def list(k: String) = jarr(k).orElse(str(k).map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)).getOrElse(Nil)
+      val batches = jarr("batches").getOrElse(Nil)
       for (r <- f("rows"); fp <- f("fingerprint"); ba <- f("bands");
            bi <- f("bits"); d <- f("dim"); bu <- f("buckets");
            ic <- str("id_col"); vc <- str("vec_col"); it <- str("id_type"))
@@ -1152,7 +1213,9 @@ object Dedup {
           f("appended_rows").map(_.toLong).getOrElse(0L), batches,
           f("seq").map(_.toLong).getOrElse(batches.size.toLong),
           f("last_rows").map(_.toLong).getOrElse(0L),
-          f("last_fp").map(_.toLong).getOrElse(0L))
+          f("last_fp").map(_.toLong).getOrElse(0L),
+          f("mseq").map(_.toLong).getOrElse(
+            f("seq").map(_.toLong).getOrElse(batches.size.toLong)))
     }
   }
 
@@ -1215,6 +1278,7 @@ object Dedup {
       .mode("overwrite").saveAsTable(tbl)
     rmTree(new java.io.File(s"$dir/batches"))
     rmTree(new java.io.File(s"$dir/_staging"))
+    rmTree(new java.io.File(s"$dir/_commits"))
     writeEdManifest(dir, EmbedDupManifest(n, fp, bands, ix.bits, dim,
       buckets, idCol, vecCol, corpus.schema(idCol).dataType.sql,
       blockCols, blockCols.map(c => corpus.schema(c).dataType.sql)))
@@ -1326,10 +1390,12 @@ object Dedup {
     rmTree(target)
     java.nio.file.Files.createDirectories(target.getParentFile.toPath)
     java.nio.file.Files.move(java.nio.file.Paths.get(staging), target.toPath)
-    writeEdManifest(dir, m.copy(rows = m.rows + bn,
-      fingerprint = m.fingerprint + bfp,
-      appendedRows = m.appendedRows + bn, batches = m.batches :+ batchId,
-      seq = m.seq + 1, lastRows = bn, lastFp = bfp))
+    casCommit(dir, m.mseq, batchId, readEdManifest(dir).map(_.mseq)) { ms =>
+      writeEdManifest(dir, m.copy(rows = m.rows + bn,
+        fingerprint = m.fingerprint + bfp,
+        appendedRows = m.appendedRows + bn, batches = m.batches :+ batchId,
+        seq = m.seq + 1, lastRows = bn, lastFp = bfp, mseq = ms))
+    }
     edValidated.remove(dir)
     ()
   }

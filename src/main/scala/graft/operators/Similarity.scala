@@ -87,7 +87,7 @@ object Similarity {
     // this — its aggregation buffer is bounded by construction.
     val pairParts = {
       val parallelism = c.sparkSession.sparkContext.defaultParallelism
-      val pairs = q.count() * c.count()
+      val pairs = memoCount(q) * memoCount(c)
       math.max(parallelism, math.min(1 << 14, pairs / 1000000L).toInt)
     }
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor_id"))
@@ -440,9 +440,22 @@ object Similarity {
               s"'$token') — concurrent mutation detected; re-read the " +
               "manifest and retry this mutation against the fresh state")
       // winner == token: our own crashed attempt — fall through and
-      // (re-)publish the manifest
+      // (re-)publish the manifest, UNLESS the original commit actually
+      // succeeded and a LATER mutation has since committed: replaying a
+      // stale internal commit would then rewrite the manifest with
+      // old-based content (mseq regresses), silently erasing the later
+      // commit. The guard re-reads the live manifest; at-or-past our
+      // target mseq means our publish (and possibly more) already
+      // landed, so the replay is a no-op.
     }
-    writeManifest(indexDir, next.copy(mseq = expected.mseq + 1))
+    readManifest(indexDir).filter(_.mseq > expected.mseq) match {
+      case Some(cur) =>
+        log.info(s"ivf manifest CAS: commit seq ${expected.mseq + 1} under " +
+          s"$indexDir already published (live mseq ${cur.mseq}) — " +
+          "idempotent replay, not rewriting")
+      case None =>
+        writeManifest(indexDir, next.copy(mseq = expected.mseq + 1))
+    }
   }
 
   private[graft] def readManifest(indexDir: String): Option[IvfManifest] = {
@@ -726,6 +739,20 @@ object Similarity {
     * snapshot paths — see [[ivfBuildIfAbsent]]). */
   private val validated =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  /** Session-scoped count memo keyed on the canonicalized-plan digest —
+    * the sizing counts in [[knn]] re-executed a derived corpus/query
+    * frame's full lineage TWICE per invocation (they exist only to pick
+    * a shuffle width, so staleness is impossible within a session: the
+    * same logical plan re-counts to the same value for the immutable
+    * file-backed frames the serving paths read). Same contract as
+    * [[validated]]: files mutating under an unchanged path within one
+    * session are out of scope. */
+  private val counted =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def memoCount(df: DataFrame): Long =
+    counted.computeIfAbsent(corpusKey(df), _ => df.count()).longValue()
 
   /** Digest of the corpus's canonicalized logical plan — equal for
     * re-constructions of the same read within a session, different for
@@ -1214,34 +1241,54 @@ object Similarity {
       log.info(s"ivfRefit: no cell above ${cap} rows under $indexDir — no-op")
       return 0
     }
-    val hotRows = hot.map(counts).sum
     val cbRows = s.read.parquet(codebookPath(indexDir, m))
       .select("cell", "ctr").orderBy("cell").collect()
     require(cbRows.length == m.nlist,
       s"ivfRefit: codebook has ${cbRows.length} cells, manifest says ${m.nlist}")
-    val newCtrs = scala.collection.mutable.ArrayBuffer(
-      cbRows.map(_.getSeq[Double](1).toArray): _*)
     val live = ivfCells(s, indexDir).select("id", "emb", "cell")
     val target = fitSampleSize(2)
     val M = 1L << 40
-    // per hot cell: sample-fit a 2-means on the cell's own rows, then one
-    // bounded argmin pass relabels them between (old id, fresh id)
-    val pieces = hot.zipWithIndex.map { case (c, i) =>
-      val newId = m.nlist + i
+    // per hot cell: sample-fit a 2-means on the cell's own rows. A cell
+    // of exact duplicates (the canonical hot-cell cause in near-dup
+    // corpora) has <2 distinct vectors, and Spark ML's KMeans then
+    // returns fewer than k centers (or two identical ones) — such a cell
+    // is UNSPLITTABLE by geometry: skip it (logged) rather than throw,
+    // so the O(hot-cells) remedy stays usable on the remaining cells.
+    val fits: Seq[(Int, Array[Array[Double]])] = hot.flatMap { c =>
       val rowsC = live.filter(col("cell") === c).select("id", "emb")
       val nC = counts(c)
       val fitBase =
         if (nC <= target) rowsC
         else rowsC.filter(pmod(xxhash64(col("id")), lit(M)) <
           lit(math.min(M, math.ceil(1.2 * target.toDouble / nC * M).toLong)))
-      val two: Array[Array[Double]] = new KMeans().setK(2).setSeed(42)
+      val ctrs: Array[Array[Double]] = new KMeans().setK(2).setSeed(42)
         .setMaxIter(5).setFeaturesCol("__fv").setPredictionCol("__p")
         .fit(fitBase.withColumn("__fv",
           array_to_vector(col("emb").cast("array<double>"))))
         .clusterCenters.map(_.toArray)
+      if (ctrs.length < 2 || ctrs(0).sameElements(ctrs(1))) {
+        log.warn(s"ivfRefit: cell $c ($nC rows) is unsplittable — the " +
+          s"2-means fit found ${ctrs.length} distinct center(s) (an " +
+          "exact-duplicate clump); leaving it intact")
+        None
+      } else Some(c -> ctrs)
+    }
+    val split: Seq[Int] = fits.map(_._1)
+    if (split.isEmpty) {
+      log.info(s"ivfRefit: every hot cell under $indexDir is an " +
+        "unsplittable duplicate clump — no-op")
+      return 0
+    }
+    val hotRows = split.map(counts).sum
+    val newCtrs = scala.collection.mutable.ArrayBuffer(
+      cbRows.map(_.getSeq[Double](1).toArray): _*)
+    // one bounded argmin pass relabels each split cell's rows between
+    // (old id, fresh id)
+    val pieces = fits.zipWithIndex.map { case ((c, two), i) =>
+      val newId = m.nlist + i
       newCtrs(c) = two(0)
       newCtrs += two(1)
-      rowsC.select(col("id"), col("emb"),
+      live.filter(col("cell") === c).select(col("id"), col("emb"),
         when(argMinDistSq(col("emb"), two).getField("j") === 0, lit(c))
           .otherwise(lit(newId)).as("cell"))
     }
@@ -1252,7 +1299,7 @@ object Similarity {
     // cluster by cell before the partitioned write — one task per
     // output cell, so a split cell's children land as one file each)
     val persisted = pieces.reduce(_ unionByName _)
-      .repartition(2 * hot.size, col("cell"))
+      .repartition(2 * split.size, col("cell"))
       .localCheckpoint(true)
     persisted.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/cells.parquet")
@@ -1268,34 +1315,54 @@ object Similarity {
       s"ivfRefit: staged $staged rows but the census counted $hotRows " +
         s"live in the split cells — data under $indexDir moved during " +
         "the refit; not committing")
-    // stage the grown codebook under its next version (unreferenced
-    // until the manifest flips)
+    // stage the grown codebook as a SIBLING of the batch staging dir —
+    // never at its final versioned path: writing codebook_v<cbv+1>
+    // directly would let a stale retry (one that already lost the CAS to
+    // another refit) overwrite the winner's committed codebook while the
+    // winner's cell labels stay live — a silent centroid/label mismatch.
+    // The staged file moves to its final name in the promote step below,
+    // which refuses to replace a COMMITTED version.
+    val cbStagingPath = s"$indexDir/_staging/${refitId}_codebook.parquet"
     newCtrs.toSeq.zipWithIndex.map { case (ctr, j) => (j, ctr) }
       .toDF("cell", "ctr").coalesce(1)
       .write.mode("overwrite")
-      .parquet(s"$indexDir/codebook_v${m.cbv + 1}.parquet")
+      .parquet(cbStagingPath)
     // rows newly relocated OUT of the base root (for ivfCompact's
     // row-count guard): hot cells not already dead in the base
     val alreadyDead = deadCells(m, 0L).toSet
-    val newFromBase = hot.filterNot(alreadyDead)
+    val newFromBase = split.filterNot(alreadyDead)
     val baseHotLive =
       if (newFromBase.isEmpty) 0L
       else s.read.parquet(s"$indexDir/cells.parquet")
         .filter(col("cell").isin(newFromBase: _*)).count()
+    // PROMOTE the codebook: a leftover target is replaceable only if it
+    // was never committed. If the LIVE manifest already references
+    // cbv+1, a racing refit won — abort before touching its file (our
+    // own CAS below would lose anyway).
+    val cbTarget = java.nio.file.Paths.get(
+      s"$indexDir/codebook_v${m.cbv + 1}.parquet")
+    if (java.nio.file.Files.exists(cbTarget)) {
+      require(readManifest(indexDir).forall(_.cbv <= m.cbv),
+        s"ivfRefit: codebook v${m.cbv + 1} under $indexDir is already " +
+          "COMMITTED by a racing refit — retry against the fresh manifest")
+      rmTree(cbTarget.toFile) // torn leftover of a crashed attempt
+    }
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(cbStagingPath), cbTarget)
     ivfAppendPromote(indexDir, refitId)
     casWriteManifest(indexDir, m, m.copy(
-      nlist = m.nlist + hot.size,
+      nlist = m.nlist + split.size,
       nlist0 = if (m.nlist0 > 0) m.nlist0 else m.nlist,
       cbv = m.cbv + 1,
       batches = m.batches :+ refitId,
       seq = m.seq + 1,
       refitRows = m.refitRows + baseHotLive,
-      refits = m.refits :+ ((m.seq + 1) -> hot)),
+      refits = m.refits :+ ((m.seq + 1) -> split)),
       token = refitId)
-    log.info(s"ivfRefit: split ${hot.size} hot cells ($hotRows rows, " +
+    log.info(s"ivfRefit: split ${split.size} hot cells ($hotRows rows, " +
       s"cap $cap) into $refitId under $indexDir — nlist ${m.nlist} -> " +
-      s"${m.nlist + hot.size}")
-    hot.size
+      s"${m.nlist + split.size}")
+    split.size
   }
 
   /** ONLINE probe against a stored index: read + broadcast the codebook,

@@ -529,4 +529,68 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     Dedup.embedDupAppend(batch, dir)
     assert(Dedup.readEdManifest(dir).get === ma)
   }
+
+  test("manifest CAS: of two racing dedup mutations exactly one commits, the loser throws; stale own-token replay is a no-op") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 20 === 0)
+    val b2 = docs.filter(col("doc_id") % 20 === 10)
+    val dir = java.nio.file.Files.createTempDirectory("ndix_cas_")
+      .toFile.getAbsolutePath
+    Dedup.nearDupIndexWrite(corpus, "doc_id", "text", dir)
+    val m0 = Dedup.readNdManifest(dir).get
+    // writer A lands normally (claims m<m0.mseq+1>)
+    Dedup.nearDupAppend(b1, dir)
+    val m1 = Dedup.readNdManifest(dir).get
+    assert(m1.mseq === m0.mseq + 1 && m1.batches.size === 1)
+    // writer B raced A: staged against m0, commits with the STALE
+    // expected mseq — must throw with A's token, manifest untouched
+    // (before the CAS this silently erased A's delta)
+    val e = intercept[IllegalStateException] {
+      Dedup.casCommit(dir, m0.mseq, "b_stale_racer",
+        Dedup.readNdManifest(dir).map(_.mseq))(_ =>
+        fail("the CAS loser must never publish"))
+    }
+    assert(e.getMessage.contains("CAS lost"))
+    assert(Dedup.readNdManifest(dir).get === m1, "loser left the manifest alone")
+    // the loser retries against the FRESH manifest (the real path:
+    // nearDupAppend re-reads) and lands
+    Dedup.nearDupAppend(b2, dir)
+    val m2 = Dedup.readNdManifest(dir).get
+    assert(m2.mseq === m1.mseq + 1 && m2.batches.size === 2)
+    // own-token replay of an ALREADY-PUBLISHED commit: the marker holds
+    // our token but the live manifest is past the expected mseq — the
+    // replay must NOT rewrite (a rewrite would regress mseq and silently
+    // erase m2's later commit)
+    var published = false
+    Dedup.casCommit(dir, m0.mseq, m1.batches.head,
+      Dedup.readNdManifest(dir).map(_.mseq))(_ => published = true)
+    assert(!published, "stale own-token replay must be a no-op")
+    assert(Dedup.readNdManifest(dir).get === m2)
+    // the index stayed valid and serving through all of it
+    assert(Dedup.nearDupValid(docs, "doc_id", "text", dir))
+    assert(probeRows(Dedup.probeNearDups(Dedup.nearDupIndexLoad(spark, dir),
+      docs.filter(col("doc_id") % 20 === 5), "text")).nonEmpty)
+  }
+
+  test("embed manifest: parameterized block type (DECIMAL(10,2)) survives the JSON round-trip and the fresh-session DDL") {
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+      .withColumn("price_band", (col("label") % 3).cast("decimal(10,2)"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("edix_dec_")
+      .toFile.getAbsolutePath
+    Dedup.embedDupIndexWrite(corpus, "vec_id", "embedding",
+      Seq("label", "price_band"), dir)
+    val m = Dedup.readEdManifest(dir).get
+    // the comma inside the parameterized type must survive verbatim —
+    // the mv:1 comma-joined form split this into ("DECIMAL(10", "2)")
+    // and corrupted the CREATE TABLE DDL in a fresh session
+    assert(m.blockCols === Seq("label", "price_band"))
+    assert(m.blockTypes === Seq("INT", "DECIMAL(10,2)"))
+    // fresh-session path: the DDL re-registration must parse and serve
+    spark.sql(s"DROP TABLE IF EXISTS ${Dedup.embedBucketTable(dir)}")
+    val ix = Dedup.embedDupIndexLoad(spark, dir)
+    assert(Dedup.probeEmbedDups(ix, batch, -1.0).count() > 0)
+  }
 }

@@ -845,4 +845,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       "an idempotent commit retry must not duplicate the batch")
     assert(mPost.mseq === mPre.mseq + 1)
   }
+
+  test("ivfRefit: an exact-duplicate clump cell is unsplittable — skipped, never thrown") {
+    // the canonical hot-cell cause in near-dup corpora: one vector
+    // repeated far past the cap. Its 2-means has <2 distinct centers,
+    // so the refit must SKIP the cell (logged) and leave the index
+    // intact — before the guard this threw ArrayIndexOutOfBounds and
+    // made the O(hot-cells) remedy permanently unusable on that index.
+    // the clump sits far from the spread so its cell holds ONLY
+    // duplicates (a center lands on the clump point; every spread row
+    // is orders of magnitude nearer some spread center)
+    val clump = (1L to 400L).map(i => (i, Seq.fill(8)(10.0f)))
+    val spread = (401L to 480L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 7 + j * 13) % 29).toFloat / 29f)))
+    val corpus = (clump ++ spread).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivf_clump_")
+      .toFile.getAbsolutePath
+    Similarity.ivfBuild(corpus, idx, nlist = 4)
+    val m0 = Similarity.readManifest(idx).get
+    // cap 2x the 120-row mean: the 400-row clump cell is the hot set
+    val n = Similarity.ivfRefit(spark, idx, capFactor = 2.0, maxSplit = 4)
+    val m1 = Similarity.readManifest(idx).get
+    assert(n === 0, "a pure-duplicate clump admits no split")
+    assert(m1 === m0, "a refit that split nothing must leave the manifest alone")
+    assert(Similarity.ivfCells(spark, idx).count() === m0.rows)
+    // the index still serves
+    val q = corpus.filter(col("vec_id") === 450L)
+    assert(Similarity.ivfProbe(spark, idx, q, 3, 4).count() === 3)
+  }
 }
