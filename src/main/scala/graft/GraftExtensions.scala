@@ -82,23 +82,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenMatchCount(es.head, es.tail.map(strLit(_, "token_match_count")))
       }))
     // Multi-table hyperplane LSH bucket ids for SQL callers:
-    // lsh_buckets(emb, tables, bits, dim) — the plane matrix is derived
-    // from the literal params with the library's fixed seed
-    // (Similarity.planes), so SQL text and the Scala lshKnn spelling
-    // bucket identically (GraftExtensionsSpec pins it).
+    // lsh_buckets(emb, tables, bits, dim[, stride_bits]) — the plane
+    // matrix is derived from the literal params with the library's fixed
+    // seed (Similarity.planes), so SQL text and the Scala lshKnn
+    // spelling bucket identically (GraftExtensionsSpec pins it). The
+    // optional 5th arg is the embed-dedup family's FROZEN-BITS
+    // convention (Dedup.embedSigs): planes are generated at stride_bits
+    // per band (EmbedBitsMax) and each band uses its first `bits` — so a
+    // SQL caller banding against a stored embed index with the
+    // manifest's frozen bits collides exactly with the stored buckets at
+    // ANY frozen value, not just the full stride.
     ext.injectFunction((FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo("graft", "lsh_buckets"),
       (es: Seq[Expression]) => {
-        require(es.length == 4, "lsh_buckets(emb, tables, bits, dim)")
+        require(es.length == 4 || es.length == 5,
+          "lsh_buckets(emb, tables, bits, dim[, stride_bits])")
         def intLit(e: Expression, what: String): Int = e match {
           case Literal(i: Int, IntegerType) => i
           case other => throw new IllegalArgumentException(
             s"lsh_buckets: $what must be an integer literal, got $other")
         }
-        LshBuckets(es.head,
-          graft.operators.Similarity.planes(intLit(es(1), "tables"),
-            intLit(es(2), "bits"), intLit(es(3), "dim")),
-          intLit(es(2), "bits"))
+        val tables = intLit(es(1), "tables")
+        val bits = intLit(es(2), "bits")
+        val dim = intLit(es(3), "dim")
+        val planes =
+          if (es.length == 5) {
+            val stride = intLit(es(4), "stride_bits")
+            require(bits <= stride,
+              s"lsh_buckets: bits ($bits) must be <= stride_bits ($stride)")
+            val ps = graft.operators.Similarity.planes(tables, stride, dim)
+            Array.tabulate(tables * bits)(k => ps(k / bits * stride + k % bits))
+          } else graft.operators.Similarity.planes(tables, bits, dim)
+        LshBuckets(es.head, planes, bits)
       }))
     // Bloom membership probe for SQL callers:
     // bloom_might_contain_long(h, 'base64(BloomFilter.writeTo bytes)') —

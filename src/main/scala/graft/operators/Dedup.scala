@@ -1400,6 +1400,90 @@ object Dedup {
     ()
   }
 
+  /** MAINTENANCE fold for the stored embed index: compact every
+    * committed [[embedDupAppend]] batch root into ONE root —
+    * [[nearDupCompact]]'s protocol applied to the embed family,
+    * completing the stored-artifact operational loop (build / append /
+    * compact / stats) for the THIRD index. Without it a long-running
+    * semantic-dedup ingest accumulates one root per append forever and
+    * [[probeEmbedDups]] pays one candidate join PER ROOT per probe;
+    * after the fold it pays exactly two (bucketed base + compacted
+    * root).
+    *
+    * Probe-IDENTICAL by construction: bands/bits are FROZEN in the
+    * manifest and the fold is pure layout (bucket multiset and vector
+    * set unchanged) — like the text family's and unlike the append
+    * path, no stationarity assumption is needed (DedupSpec pins exact
+    * equality against a never-compacted twin, and the registered
+    * dedup_embed_index_compact query carries a full DuckDB oracle).
+    * Keeps `appendedRows`: frozen-bits occupancy drift is a property of
+    * the BUILD, which only a re-[[embedDupIndexWrite]] refits — the
+    * gauge keeps alerting after a fold, by design. Stage → promote →
+    * one CAS'd manifest commit ([[casCommit]]); a torn fold is
+    * invisible; a row-count read-back guards against committing a
+    * partial write; DEFERRED sweep (reader grace period: only dirs
+    * older than this fold's inputs are removed, so a probe planned
+    * against the pre-compact manifest keeps every file for one full
+    * maintenance interval). SINGLE-WRITER per index dir. */
+  def embedDupCompact(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val m = readEdManifest(dir).getOrElse(sys.error(
+      s"embedDupCompact: no readable manifest under $dir"))
+    if (m.batches.size < 2) return
+    val compactId = f"c${m.seq}%04d_${m.appendedRows}_" +
+      java.lang.Long.toHexString(m.fingerprint)
+    val staging = s"$dir/_staging/$compactId"
+    def foldRead(a: String): DataFrame =
+      m.batches.map(b => s.read.parquet(s"$dir/batches/$b/$a"))
+        .reduce(_ unionByName _)
+    val expect = foldRead("buckets.parquet").count()
+    // file count tracks the base table's bucket count — the appended
+    // mass is the small side, this only bounds small-file growth
+    foldRead("buckets.parquet")
+      .repartition(m.buckets, ("bk" +: m.blockCols).map(col): _*)
+      .write.mode("overwrite").parquet(s"$staging/buckets.parquet")
+    foldRead("vectors.parquet")
+      .write.mode("overwrite").parquet(s"$staging/vectors.parquet")
+    val folded = s.read.parquet(s"$staging/buckets.parquet").count()
+    require(folded == expect,
+      s"embedDupCompact: folded $folded bucket rows but the inputs hold " +
+        s"$expect — the fold write under $dir is torn; not committing")
+    val target = new java.io.File(s"$dir/batches/$compactId")
+    rmTree(target)
+    java.nio.file.Files.createDirectories(target.getParentFile.toPath)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging), target.toPath)
+    casCommit(dir, m.mseq, compactId, readEdManifest(dir).map(_.mseq)) { ms =>
+      writeEdManifest(dir, m.copy(batches = Seq(compactId), mseq = ms))
+    }
+    // corpus identity (rows, fingerprint, bands, bits) is unchanged by a
+    // fold, so an existing edValidated memo stays correct — not cleared
+    Option(new java.io.File(s"$dir/batches").listFiles()).foreach(
+      _.filterNot(f => f.getName == compactId || m.batches.contains(f.getName))
+        .foreach(rmTree))
+    log.info(s"embedDupCompact: folded ${m.batches.size} batch roots " +
+      s"(${m.appendedRows} appended vectors) into $compactId under $dir")
+  }
+
+  /** ONE-ROW health report over a stored embed index — the operational
+    * gauge ([[nearDupStats]]'s pattern): manifest identity + the
+    * staleness fraction that alerts the rebuild (the frozen-bits drift
+    * contract), plus artifact row counts (parquet metadata counts — no
+    * vector bytes read). */
+  def embedDupStats(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = readEdManifest(dir).getOrElse(sys.error(
+      s"embedDupStats: no readable manifest under $dir"))
+    val baseBuckets = s.read.parquet(s"$dir/buckets").count()
+    val appendedBuckets =
+      if (m.batches.isEmpty) 0L
+      else m.batches.map(b =>
+        s.read.parquet(s"$dir/batches/$b/buckets.parquet").count()).sum
+    Seq((m.rows, m.appendedRows,
+        if (m.rows == 0) 0.0 else m.appendedRows.toDouble / m.rows,
+        m.batches.size, m.bands, m.bits, m.dim, baseBuckets, appendedBuckets))
+      .toDF("rows", "appended_rows", "appended_fraction", "batch_roots",
+        "bands", "bits", "dim", "base_buckets", "appended_buckets")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked: every within-block pair is
     * exactly verified against `threshold` ((v1, v2, blockCols..., cos),
     * v1 < v2).

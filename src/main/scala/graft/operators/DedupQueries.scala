@@ -525,6 +525,59 @@ object DedupQueries {
           .orderBy("vec_id")
       },
       Some(embedIncrementalSql)),
+
+    // OPERATIONAL GAUGE for the stored embed index — the embed twin of
+    // dedup_index_stats: build on half the corpus, embedDupAppend the
+    // other half (gated by embedDupValid(union) — additive fingerprint,
+    // so session re-runs are gauge-only), then one row of manifest
+    // identity + staleness fraction + artifact row counts. Rows-only
+    // check; the gauge arithmetic is pinned in DedupSpec.
+    Q("dedup_embed_index_stats",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+        val corpus = e.filter(col("vec_id") % 10 =!= 0)
+        val ixDir = Dedup.embedDupIndexDir(s, dir + "#eappend")
+        if (!Dedup.embedDupValid(corpus, "vec_id", "embedding", Seq("label"), ixDir)) {
+          Dedup.embedDupIndexWrite(corpus.filter(col("vec_id") % 2 === 1),
+            "vec_id", "embedding", Seq("label"), ixDir)
+          Dedup.embedDupAppend(corpus.filter(col("vec_id") % 2 === 0), ixDir)
+        }
+        Dedup.embedDupStats(s, ixDir)
+      },
+      None),
+
+    // MAINTENANCE FOLD for the stored embed index — the embed twin of
+    // dedup_index_compact: the corpus lands as a build plus TWO appended
+    // batches (three deterministic thirds), the batch roots are folded
+    // into one (Dedup.embedDupCompact: stage → promote → CAS'd manifest
+    // commit, deferred sweep), and the arriving 10% is probed against
+    // the compacted index. UNLIKE the text twin this stays FULLY
+    // DuckDB-ORACLED: the fold is pure layout and the only build-subset
+    // dependence is the frozen bit count, whose integer law the
+    // generated oracle reproduces from the build subset's count(*)
+    // (embedIncrementalSqlFor's nb CTE over `vec_id % 3 = 1`), so sign
+    // bits, buckets, candidates and the verified cosine are all
+    // bit-identical — fold-invariance proven by the oracle at every
+    // scale, not just by the spec twin.
+    Q("dedup_embed_index_compact",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+        val corpus = e.filter(col("vec_id") % 10 =!= 0)
+        val ixDir = Dedup.embedDupIndexDir(s, dir + "#ecompact")
+        if (!Dedup.embedDupValid(corpus, "vec_id", "embedding", Seq("label"), ixDir)) {
+          Dedup.embedDupIndexWrite(corpus.filter(col("vec_id") % 3 === 1),
+            "vec_id", "embedding", Seq("label"), ixDir)
+          Dedup.embedDupAppend(corpus.filter(col("vec_id") % 3 === 2), ixDir)
+          Dedup.embedDupAppend(corpus.filter(col("vec_id") % 3 === 0), ixDir)
+          Dedup.embedDupCompact(s, ixDir)
+        }
+        Dedup.probeEmbedDups(Dedup.embedDupIndexLoad(s, ixDir),
+            e.filter(col("vec_id") % 10 === 0), -1.0)
+          .select(col("vec_id"), col("dup_of"), col("label"),
+            r6(col("cos")).as("cosine"))
+          .orderBy("vec_id")
+      },
+      Some(embedCompactSql)),
   )
 
   /** Generated DuckDB twin of [[Dedup.embedPairsBanded]] (4 bands ×
@@ -614,7 +667,11 @@ object DedupQueries {
     * batch vector: row_number over (cos DESC, cid) on the RAW fold,
     * rounding only in the output; NO cosine threshold (the registered
     * report form — see the Q comment). */
-  private lazy val embedIncrementalSql: String = {
+  /** nbWhere selects the BUILD corpus — the subset whose count froze the
+    * bit count at embedDupIndexWrite time: dedup_embed_incremental built
+    * on the full 90%; dedup_embed_index_compact built on its first third
+    * (the appends band with the SAME frozen bits, so only nb differs). */
+  private def embedIncrementalSqlFor(nbWhere: String): String = {
     val (bands, dim, occ) =
       (Dedup.EmbedBands, Dedup.EmbedDim, Dedup.EmbedOccupancy)
     val bitsMax = Dedup.EmbedBitsMax
@@ -622,7 +679,7 @@ object DedupQueries {
     s"""WITH e AS (
        |  SELECT vec_id, label,
        |    CASE WHEN len(embedding) = $dim THEN embedding
-       |         ELSE error('dedup_embed_incremental oracle: embedding dim <> $dim') END
+       |         ELSE error('embed incremental-family oracle: embedding dim <> $dim') END
        |      AS embedding
        |  FROM embeddings
        |  WHERE embedding IS NOT NULL
@@ -630,7 +687,7 @@ object DedupQueries {
        |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))),
        |nb AS (
        |  SELECT CASE $bitsCase ELSE $bitsMax END AS bits
-       |  FROM (SELECT count(*) AS nn FROM e WHERE vec_id % 10 <> 0)),
+       |  FROM (SELECT count(*) AS nn FROM e WHERE $nbWhere)),
        |sig AS (
        |  SELECT vec_id, label,
        |    $bandCols
@@ -657,4 +714,14 @@ object DedupQueries {
        |  round(cos * 1e6) / 1e6 AS cosine
        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
+
+  private[operators] lazy val embedIncrementalSql: String =
+    embedIncrementalSqlFor("vec_id % 10 <> 0")
+
+  /** [[embedIncrementalSqlFor]] with the compact query's build subset:
+    * the index is built on the 90% corpus's first third and grown by two
+    * appends, so the frozen bit count comes from `vec_id % 3 = 1` alone
+    * while candidates still span the whole 90%. */
+  private lazy val embedCompactSql: String =
+    embedIncrementalSqlFor("vec_id % 10 <> 0 AND vec_id % 3 = 1")
 }

@@ -332,5 +332,70 @@ object SqlQueries {
              |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)
       },
       Some(DedupQueries.incrementalSql)),
+
+    // The stored EMBED near-dup index probed in PURE SQL TEXT — the
+    // semantic-dedup family's last Scala-only surface closed, completing
+    // what sql_neardup_probe did for the text family. The Scala side
+    // only ensures the STORED index exists (Dedup.embedDupIndexIfAbsent
+    // — shares dedup_embed_incremental's index dir: whichever runs first
+    // builds, and this index never carries append roots, so the base
+    // table IS the whole corpus side) and splices the manifest's FROZEN
+    // banding constants; everything else is spark.sql: the injected
+    // lsh_buckets in its stride form (tables, frozen bits, dim,
+    // EmbedBitsMax — the Dedup.embedSigs plane-subset convention, so SQL
+    // banding collides with the stored buckets at ANY frozen bits), the
+    // composed bk = band_idx << EmbedBitsMax | band_val join key, the
+    // candidate equi-join against the CATALOG-REGISTERED bucketed-by-
+    // (bk, label) table (exchange-free corpus side — all cluster keys
+    // in the join), vectors via parquet.`vectors.parquet`, and the
+    // vec_cosine verify with the engine's exact >= -1 keep rule. A SQL
+    // caller probing an index WITH append roots adds one UNION ALL term
+    // per batch root — the manifest lists them. Result-identical to
+    // dedup_embed_incremental by construction -> shares its DuckDB
+    // oracle verbatim (sign bits, buckets, candidates, cosine all
+    // bit-identical in DuckDB).
+    Q("sql_embed_probe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+        emb.createOrReplaceTempView("graft_embeddings")
+        val ixDir = Dedup.embedDupIndexDir(s, dir)
+        Dedup.embedDupIndexIfAbsent(
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", Seq("label"), ixDir)
+        val m = Dedup.readEdManifest(ixDir).getOrElse(sys.error(
+          s"sql_embed_probe: no manifest under $ixDir"))
+        val tbl = Dedup.embedBucketTable(ixDir)
+        val bm = Dedup.EmbedBitsMax
+        s.sql(
+          s"""WITH b AS (
+             |  SELECT vec_id, label, embedding FROM graft_embeddings
+             |  WHERE vec_id % 10 = 0 AND embedding IS NOT NULL
+             |    AND NOT isnan(vec_dot(embedding, embedding))
+             |    AND vec_dot(embedding, embedding) <> CAST('Infinity' AS DOUBLE)),
+             |bs AS (
+             |  SELECT vec_id, label,
+             |         shiftleft(CAST(t AS BIGINT), $bm) + CAST(v AS BIGINT) AS bk
+             |  FROM b
+             |  LATERAL VIEW posexplode(
+             |    lsh_buckets(embedding, ${m.bands}, ${m.bits}, ${m.dim}, $bm)) x AS t, v),
+             |cand AS (
+             |  SELECT DISTINCT bs.vec_id AS bid, c.vec_id AS cid, bs.label
+             |  FROM bs JOIN $tbl c ON bs.label = c.label AND bs.bk = c.bk),
+             |p AS (
+             |  SELECT cand.bid, cand.cid, cand.label,
+             |         vec_cosine(bb.embedding, cv.embedding) AS cos
+             |  FROM cand
+             |  JOIN b bb ON bb.vec_id = cand.bid
+             |  JOIN parquet.`$ixDir/vectors.parquet` cv ON cv.vec_id = cand.cid
+             |  WHERE vec_cosine(bb.embedding, cv.embedding) >= -1.0D),
+             |r AS (
+             |  SELECT bid, cid, label, cos,
+             |    row_number() OVER (PARTITION BY bid ORDER BY cos DESC, cid) AS rn
+             |  FROM p)
+             |SELECT bid AS vec_id, cid AS dup_of, label,
+             |       round(cos * 1e6) / 1e6 AS cosine
+             |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+      },
+      Some(DedupQueries.embedIncrementalSql)),
   )
 }

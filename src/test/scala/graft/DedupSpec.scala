@@ -593,4 +593,66 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val ix = Dedup.embedDupIndexLoad(spark, dir)
     assert(Dedup.probeEmbedDups(ix, batch, -1.0).count() > 0)
   }
+
+  test("embedDupCompact: fold probes identically; deferred sweep; stats gauge") {
+    val emb = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    def slice(r: Int) = corpus.filter(col("vec_id") % 3 === r)
+    def tmp() = java.nio.file.Files.createTempDirectory("edix_c_").toFile.getAbsolutePath
+    val dirC = tmp(); val dirU = tmp() // folded vs never-compacted twin
+    for (d <- Seq(dirC, dirU)) {
+      Dedup.embedDupIndexWrite(slice(1), "vec_id", "embedding", Seq("label"), d)
+      Dedup.embedDupAppend(slice(2), d)
+      Dedup.embedDupAppend(slice(0), d)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val before = key(Dedup.probeEmbedDups(
+      Dedup.embedDupIndexLoad(spark, dirU), batch, -1.0))
+    assert(before.nonEmpty)
+    val m1 = Dedup.readEdManifest(dirC).get
+    assert(m1.batches.size === 2)
+    Dedup.embedDupCompact(spark, dirC)
+    val m2 = Dedup.readEdManifest(dirC).get
+    // ONE compacted root; corpus identity, frozen bits, and the
+    // staleness signal are UNCHANGED (the fold is layout-only)
+    assert(m2.batches.size === 1 && m2.batches.head.startsWith("c"))
+    assert((m2.rows, m2.fingerprint, m2.appendedRows, m2.seq, m2.bits) ===
+      (m1.rows, m1.fingerprint, m1.appendedRows, m1.seq, m1.bits))
+    // probe-identical: a pure layout fold needs NO stationarity assumption
+    assert(key(Dedup.probeEmbedDups(
+      Dedup.embedDupIndexLoad(spark, dirC), batch, -1.0)) === before)
+    // the folded manifest still validates the union corpus
+    assert(Dedup.embedDupValid(corpus, "vec_id", "embedding", Seq("label"), dirC))
+    // DEFERRED sweep: superseded roots survive this fold...
+    for (b <- m1.batches)
+      assert(new java.io.File(s"$dirC/batches/$b").exists(),
+        s"superseded root $b must survive one compaction cycle")
+    // ...and are removed only by the NEXT fold
+    val again = corpus.filter(col("vec_id") % 3 === 1).limit(40)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        col("embedding"))
+    Dedup.embedDupAppend(again, dirC)
+    Dedup.embedDupCompact(spark, dirC)
+    for (b <- m1.batches)
+      assert(!new java.io.File(s"$dirC/batches/$b").exists(),
+        s"root $b older than the new fold's inputs must be swept")
+    assert(Dedup.readEdManifest(dirC).get.batches.size === 1)
+    // guard: fewer than two roots is a no-op
+    val m3 = Dedup.readEdManifest(dirC).get
+    Dedup.embedDupCompact(spark, dirC)
+    assert(Dedup.readEdManifest(dirC).get === m3)
+    // stats gauge arithmetic off the manifest and artifacts
+    val st = Dedup.embedDupStats(spark, dirC).head()
+    assert(st.getLong(0) === m3.rows)
+    assert(st.getLong(1) === m3.appendedRows)
+    assert(st.getDouble(2) === m3.appendedRows.toDouble / m3.rows)
+    assert(st.getInt(3) === 1 && st.getInt(4) === m3.bands &&
+      st.getInt(5) === m3.bits && st.getInt(6) === m3.dim)
+    assert(st.getLong(7) ===
+      spark.read.parquet(s"$dirC/buckets").count())
+  }
+
 }

@@ -207,6 +207,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 
+  test("lsh_buckets stride form bands like the embed family's frozen-bits plane subset") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    emb.createOrReplaceTempView("ext_lsh_emb_stride")
+    // a frozen bits value strictly below the stride, like a small-corpus
+    // embed index freezes (Dedup.embedBits of the build count)
+    val (tables, bits, dim, stride) = (4, 7, 64,
+      graft.operators.Dedup.EmbedBitsMax)
+    val sql = spark.sql(
+      s"""SELECT vec_id, t, b FROM ext_lsh_emb_stride
+         |LATERAL VIEW posexplode(
+         |  lsh_buckets(embedding, $tables, $bits, $dim, $stride)) x AS t, b
+         |""".stripMargin)
+    // Scala spelling: Dedup.embedSigs' exact plane subset — planes at
+    // the full stride, band k using its first `bits`
+    val ps = graft.operators.Similarity.planes(tables, stride, dim)
+    val sub = Array.tabulate(tables * bits)(k => ps(k / bits * stride + k % bits))
+    val scala = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.posexplode(
+        graft.functions.VectorFunctions.lshBuckets(
+          org.apache.spark.sql.functions.col("embedding"), sub, bits)))
+      .toDF("vec_id", "t", "b")
+    assert(sql.exceptAll(scala).isEmpty && scala.exceptAll(sql).isEmpty)
+    // bits past the stride are rejected, not silently truncated
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT lsh_buckets(embedding, 4, ${stride + 1}, 64, $stride) " +
+        "FROM ext_lsh_emb_stride").collect()
+    }
+    assert(err.getMessage.contains("stride_bits"), err.getMessage)
+  }
+
   test("bloom_might_contain_long probes a base64-literal filter identically to the Scala path") {
     import spark.implicits._
     val keys = (0L until 200L).map(_ * 7L)
