@@ -122,6 +122,22 @@ SHAPE_NOTES = {
         "per-row codegen'd scalar math over the full lineitem width; at "
         "scale the wall is the oracle contract's total-order output sort "
         "(n log n over wide rows), not the operators"),
+    "dedup_embed_index_compact": (
+        "stored-artifact lifecycle composite: embed-index build on a "
+        "third of the corpus + two appends + the layout-only fold + one "
+        "probe of the arriving 10% -- build dominates (one banding pass "
+        "over the corpus, linear); the fold is O(appended bytes) and the "
+        "probe O(batch + matched candidates); fit-once/probe-many "
+        "economics, the registered form rebuilds per session by design"),
+    "dedup_embed_index_stats": (
+        "embed-index build + append + one-row gauge: the gauge itself is "
+        "manifest + parquet metadata counts (no vector bytes); wall is "
+        "the setup's banding pass, linear by decade"),
+    "sql_embed_probe": (
+        "pure-SQL probe of the stored embed index (shared dir with "
+        "dedup_embed_incremental -- whichever runs first pays the one "
+        "banding build): probe cost is |batch bands| x matching buckets "
+        "+ cosine verify per candidate, never corpus x corpus"),
     "docs_decontam_bloom": (
         "decontam for the benchmark-too-big-to-broadcast regime: one "
         "corpus scan aggregates per-doc shingle counts + bloom-positive "
