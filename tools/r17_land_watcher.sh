@@ -7,15 +7,14 @@
 # DUMPS (check_oracle stamps compare-time HEAD, which may be later), and
 # commits. Idempotent: a clean (already-committed) artifact is skipped.
 #
-# Provenance constants:
-#  - /tmp/vout_r15_sf10 dumps were produced in round 16 from the r15 code
-#    state 9b838ac (the 2h11m Verify whose compare crashed).
-#  - /tmp/vout_r17_sf10 + /tmp/vout_r17_sf1 dumps come from the r17 chain
-#    leg compiled at 1dba772.
+# Rewritten mid-round: the box was swept between sessions (the r15 sf10
+# dumps AND scaledata/ were lost), so every corpus was regenerated from
+# graft.ScaleData's deterministic spec and all three artifacts are taken
+# fresh at the 139-query r17 registry. DUMP_HEAD is captured at watcher
+# start = the frozen commit the chain's Verify legs compile.
 set -u
 cd /root/repo
-R15_DUMP_HEAD=9b838acddd37183715e240366cf59640bd616bcb
-R17_DUMP_HEAD=1dba7724244b3edb87c2e048281c9106c4c68063
+DUMP_HEAD=$(git rev-parse HEAD)
 LOG=/tmp/r17_watch.log
 say() { echo "$(date +%H:%M:%S) $*" >> "$LOG"; }
 
@@ -36,10 +35,10 @@ print('GATE OK', m['queries_total'], 'q,', m['oracled_pass'], 'oracled pass')
 EOF
 }
 
-# fixmeta <file> <dumps_head>: make git_head name the code state that
-# produced the dumps; keep the compare-time head as compare_git_head
+# fixmeta <file>: make git_head name the code state that produced the
+# dumps; keep the compare-time head as compare_git_head
 fixmeta() {
-  python3 - "$1" "$2" <<'EOF'
+  python3 - "$1" "$DUMP_HEAD" <<'EOF'
 import json, sys
 p, dumps_head = sys.argv[1], sys.argv[2]
 d = json.load(open(p))
@@ -49,7 +48,7 @@ if m.get('git_head') != dumps_head:
     m['git_head'] = dumps_head
     m['note'] = ('git_head names the code state the Verify dumps were '
                  'produced at; compare_git_head is the tree state when the '
-                 'DuckDB compare ran (doc/tool commits may land in between)')
+                 'DuckDB compare ran (artifact commits may land in between)')
     json.dump(d, open(p, 'w'), indent=1)
 EOF
 }
@@ -57,38 +56,45 @@ EOF
 dirty() { [ -n "$(git status --porcelain "$1")" ]; }
 qtotal() { python3 -c "import json,sys;print(json.load(open(sys.argv[1]))['_meta']['queries_total'])" "$1" 2>/dev/null || echo 0; }
 
-committed_132=0
-committed_136=0
+committed_100x=0
 committed_scale=0
 committed_bench=0
-say "watcher started"
+say "watcher started at DUMP_HEAD=$DUMP_HEAD"
 while :; do
-  # A) the re-run 132q sf10 compare over the surviving r15 dumps
-  if [ "$committed_132" = 0 ] && [ -f CORRECTNESS_SCALE_100X.json ] \
-     && [ "$(qtotal CORRECTNESS_SCALE_100X.json)" = 132 ] \
-     && ! pgrep -f 'check_oracle.py /root/repo/scaledata/sf10 /tmp/vout_r15_sf10' >/dev/null; then
-    if dirty CORRECTNESS_SCALE_100X.json; then
-      if gate CORRECTNESS_SCALE_100X.json >> "$LOG" 2>&1; then
-        fixmeta CORRECTNESS_SCALE_100X.json "$R15_DUMP_HEAD"
-        git add CORRECTNESS_SCALE_100X.json BASELINE.md README.md
-        git commit -m "Land the sf10 correctness artifact from the surviving round-16 dumps
-
-The round-16 DuckDB compare crashed mid-run when its /tmp spill dir was
-swept (duckdb::IOException), so CORRECTNESS_SCALE_100X.json was never
-written; the 2h11m Verify's 133 dumps survived. This re-ran only the
-compare over those dumps with the spill dir under the repo's own
-.duckspill/ — 132-query registry at the r15 code state, every oracled
-query a hash match. BASELINE.md's account of the round-16 leg is
-corrected (an earlier revision wrongly claimed the compare completed)
-and README now describes the artifact that actually exists.
-
-No-Verification-Needed: artifact + doc-only commit, no source change" >> "$LOG" 2>&1 \
-          && { committed_132=1; say "132q sf10 artifact committed"; }
-      else
-        say "132q artifact FAILED gate — leaving uncommitted"; committed_132=-1
-      fi
+  # A) the sf10 compare: the chain writes CORRECTNESS_SCALE_100X_r17.json
+  #    and mvs it after its own gate; if the chain died in between, the
+  #    watcher performs the mv itself.
+  if [ "$committed_100x" = 0 ] && [ -f CORRECTNESS_SCALE_100X_r17.json ] \
+     && ! pgrep -f 'check_oracle.py /root/repo/scaledata/sf10' >/dev/null \
+     && ! pgrep -f r17_chain >/dev/null; then
+    if gate CORRECTNESS_SCALE_100X_r17.json >> "$LOG" 2>&1; then
+      mv CORRECTNESS_SCALE_100X_r17.json CORRECTNESS_SCALE_100X.json
+      say "orphaned sf10 artifact adopted (chain died before its mv)"
     else
-      committed_132=1
+      say "sf10 _r17 artifact FAILED gate — leaving in place"; committed_100x=-1
+    fi
+  fi
+  if [ "$committed_100x" = 0 ] && [ -f CORRECTNESS_SCALE_100X.json ] \
+     && [ "$(qtotal CORRECTNESS_SCALE_100X.json)" = 139 ] \
+     && dirty CORRECTNESS_SCALE_100X.json; then
+    if gate CORRECTNESS_SCALE_100X.json >> "$LOG" 2>&1; then
+      fixmeta CORRECTNESS_SCALE_100X.json
+      git add CORRECTNESS_SCALE_100X.json
+      git commit -m "Certify the 139-query registry at sf10 (round-17 chain)
+
+The 100x-decade artifact returns after two rounds missing: the round-16
+compare crashed before writing it and the surviving dumps were later
+lost to a box sweep, so the corpora were regenerated from ScaleData's
+deterministic spec and a fresh full-registry Verify ran at the round-17
+HEAD. Every oracled query hash-matches, including the round-16
+additions (IVF hot-cell refit, stored embed near-dup index + streaming
+probe, SQL near-dup probe) and the round-17 additions (embed-index
+compact/stats, SQL embed probe) at their first 100x certification.
+
+No-Verification-Needed: correctness artifact only, no source change" >> "$LOG" 2>&1 \
+        && { committed_100x=1; say "139q sf10 artifact committed"; }
+    else
+      say "sf10 artifact FAILED gate"; committed_100x=-1
     fi
   fi
 
@@ -99,7 +105,7 @@ No-Verification-Needed: artifact + doc-only commit, no source change" >> "$LOG" 
     cp /tmp/bench_r17_big.json bench_r17_big.json 2>/dev/null
     cp /tmp/bench_r17_100x.json bench_r17_100x.json 2>/dev/null
     git add BENCH_SCALING.json bench_r17_small.json bench_r17_big.json bench_r17_100x.json
-    git commit -m "Refresh BENCH_SCALING at the 136-query registry with fresh-cache benches
+    git commit -m "Refresh BENCH_SCALING at the 139-query registry with fresh-cache benches
 
 All three scale points (sf0.1 / sf1 / sf10) taken behind an explicit
 drop_caches on a quiet box, per the round-17 chain discipline; the sf10
@@ -115,46 +121,25 @@ No-Verification-Needed: measurement artifacts only, no source change" >> "$LOG" 
      && ! pgrep -f 'check_oracle.py /root/repo/scaledata/sf1 ' >/dev/null \
      && dirty CORRECTNESS_SCALE.json; then
     if gate CORRECTNESS_SCALE.json >> "$LOG" 2>&1 \
-       && [ "$(qtotal CORRECTNESS_SCALE.json)" = 136 ]; then
-      fixmeta CORRECTNESS_SCALE.json "$R17_DUMP_HEAD"
+       && [ "$(qtotal CORRECTNESS_SCALE.json)" = 139 ]; then
+      fixmeta CORRECTNESS_SCALE.json
       git add CORRECTNESS_SCALE.json
-      git commit -m "Certify the 136-query registry at sf1 (round-17 chain)
+      git commit -m "Certify the 139-query registry at sf1 (round-17 chain, regenerated corpus)
 
-Fresh Verify dumps at the round-17 code state compared against DuckDB:
-every oracled query hash-matches at the 10x scale corpus, including the
-four queries round 16 added after the previous sf1 artifact.
+Fresh Verify dumps at the round-17 frozen commit compared against
+DuckDB on the regenerated 10x corpus: every oracled query hash-matches,
+including the three queries added after the previous sf1 artifact
+(embed-index compact/stats, SQL embed probe).
 
 No-Verification-Needed: correctness artifact only, no source change" >> "$LOG" 2>&1 \
-        && { committed_scale=1; say "sf1 136q artifact committed"; }
+        && { committed_scale=1; say "sf1 139q artifact committed"; }
     else
       say "sf1 artifact FAILED gate"; committed_scale=-1
     fi
   fi
 
-  # D) the 136q sf10 compare (chain writes *_r17 then mvs over the 132q file)
-  if [ "$committed_136" = 0 ] && [ -f CORRECTNESS_SCALE_100X.json ] \
-     && [ "$(qtotal CORRECTNESS_SCALE_100X.json)" = 136 ] \
-     && dirty CORRECTNESS_SCALE_100X.json; then
-    if gate CORRECTNESS_SCALE_100X.json >> "$LOG" 2>&1; then
-      fixmeta CORRECTNESS_SCALE_100X.json "$R17_DUMP_HEAD"
-      git add CORRECTNESS_SCALE_100X.json
-      git commit -m "Certify the 136-query registry at sf10 (round-17 chain)
-
-Supersedes the 132-query artifact taken at the r15 code state: these
-dumps come from a fresh 136-query Verify at the round-17 HEAD, so the
-round-16 additions (IVF hot-cell refit, the stored embed near-dup index
-and its streaming probe, the SQL near-dup probe) are now oracle-certified
-at the 100x decade as well.
-
-No-Verification-Needed: correctness artifact only, no source change" >> "$LOG" 2>&1 \
-        && { committed_136=1; say "136q sf10 artifact committed"; }
-    else
-      say "136q sf10 artifact FAILED gate"; committed_136=-1
-    fi
-  fi
-
-  [ "$committed_136" = 1 ] && [ "$committed_scale" = 1 ] \
-    && [ "$committed_bench" = 1 ] && [ "$committed_132" = 1 ] \
+  [ "$committed_100x" = 1 ] && [ "$committed_scale" = 1 ] \
+    && [ "$committed_bench" = 1 ] \
     && { say "all artifacts landed; watcher exiting"; exit 0; }
   sleep 60
 done
