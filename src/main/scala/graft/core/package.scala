@@ -91,6 +91,19 @@ package object core {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Run `body` with one session conf temporarily set, restoring (or
+    * unsetting) afterwards — the generalized [[withShufflePartitions]].
+    * A Structured Streaming query snapshots session confs at start, so
+    * wrapping a stream's start+drain scopes the setting to that query. */
+  def withSessionConf[T](s: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Unique memory-sink name per invocation (Bench runs a query up to 3
