@@ -28,14 +28,16 @@ val jdk17AddOpens = Seq(
 // (spark.memory.fraction 0.6 of the heap is shared execution+storage
 // across N concurrent tasks). The old 8g default left ~150 MB of
 // execution memory per task at 32 cores — measured on the full
-// 139-query sf0.1 bench as 190.1 s vs 149.2 s at 24g (-22%), with the
-// localCheckpoint-heavy dedup/index families inflated 2-4x by
-// spill+GC (dedup_ngram 6.8->3.7 s, dedup_index_compact 6.3->1.8 s,
-// dedup_minhash 4.7->1.8 s). Derive the default from machine RAM
-// (quarter of MemTotal) clamped to [8g, 24g]: the floor keeps small
-// boxes working, the ceiling stays under the 32 GB compressed-oops
-// boundary. SPARK_DRIVER_MEM still overrides (the Verify scale legs
-// pin their own budgets).
+// 139-query sf0.1 bench as spill+GC inflation of the
+// localCheckpoint-heavy dedup/index families (2-4x vs the same query
+// in a short run). Measured heap curve, same protocol (quiet box,
+// fresh cache, full registry, sf0.1): 8g = 190.1 s, 16g = 134.1 s,
+// 24g = 149.2 s — 16g is the basin; past it G1's bigger regions/
+// floating garbage cost more than the extra execution memory buys,
+// the same shape the sf10 Verify legs hit at 64g (verify skill
+// gotcha). Derive the default from machine RAM (quarter of MemTotal)
+// clamped to [8g, 16g]. SPARK_DRIVER_MEM still overrides (the Verify
+// scale legs pin their own budgets).
 def defaultHeapGb: Long = {
   val memTotalKb =
     try {
@@ -45,7 +47,7 @@ def defaultHeapGb: Long = {
       }.getOrElse(0L)
       finally src.close()
     } catch { case _: Exception => 0L }
-  if (memTotalKb <= 0) 8L else math.max(8L, math.min(24L, memTotalKb / (4L * 1024 * 1024)))
+  if (memTotalKb <= 0) 8L else math.max(8L, math.min(16L, memTotalKb / (4L * 1024 * 1024)))
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
