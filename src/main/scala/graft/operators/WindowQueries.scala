@@ -303,18 +303,32 @@ object WindowQueries {
     // watermark-closed windows, so a single far-future sentinel row rides
     // in the last chunk to push the watermark past every real window; the
     // sentinel's own window never closes and is never emitted.
+    //
+    // No-data micro-batches OFF (the join_stream_stream treatment,
+    // r17): every feed advance otherwise pays a ~0.4 s empty re-run of
+    // the incremental plan just to apply the advanced watermark — at
+    // cluster scale one scheduled task per state partition, per
+    // advance. For an append-mode agg only the FINAL advance emits
+    // anything, so that one is made a real data batch instead: a
+    // second sentinel (+14 d) rides in an EPILOGUE chunk that arrives
+    // after every quantile chunk. Processing it applies sentinel #1's
+    // watermark (maxTs+7d-2h > every real window end), emitting all
+    // real windows in that data batch. Neither sentinel's own window
+    // ever closes, so neither is ever emitted — output identical
+    // (oracle re-proven), 3-4 empty plan executions saved per run.
     StreamQ("win_tumbling_stream",
       (s, dir) => {
         import graft.streaming.WeatherStream
         val ev = Tables.events(s, dir).select(col("ts"), col("event_type"), col("value"))
         val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-        val sentinel = s.createDataFrame(
+        def sentinel(days: Int) = s.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(
-            new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000),
+            new java.sql.Timestamp(maxTs.getTime + days.toLong * 24 * 3600 * 1000),
             "__sentinel", 0.0)),
           ev.schema)
         val input = WeatherStream.chunkedFileFeedDF(
-          ev.union(sentinel), "ts", WeatherStream.stagingDir("win_tumbling", dir))
+          ev.union(sentinel(7)), "ts", WeatherStream.stagingDir("win_tumbling", dir),
+          epilogue = Some(sentinel(14)))
         val agg = input.df
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -323,8 +337,10 @@ object WindowQueries {
             col("event_type"), col("n"), col("sum_value"))
         // parquet-sink drain: window count grows with the time range —
         // executor-side output, nothing driver-resident
-        withShufflePartitions(s, WeatherStream.statePartitions(s, input)) {
-          graft.streaming.WeatherStream.drainToParquet(agg, "win_tumbling_stream", input)
+        withSessionConf(s, "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
+          withShufflePartitions(s, WeatherStream.statePartitions(s, input)) {
+            graft.streaming.WeatherStream.drainToParquet(agg, "win_tumbling_stream", input)
+          }
         }.orderBy("ws", "event_type")
       },
       Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
@@ -548,18 +564,24 @@ object WindowQueries {
     // watermark-closing sentinel trick as win_tumbling_stream: append
     // mode only emits closed sessions, so a far-future row rides in the
     // last chunk; its own session never closes and is filtered out.
+    // No-data micro-batches OFF + epilogue sentinel #2 (+14 d): the
+    // win_tumbling_stream treatment — the final watermark advance rides
+    // a real data batch, every per-advance empty plan execution is
+    // saved, neither sentinel's session ever closes. Output identical
+    // (shares the batch gaps-and-islands oracle; re-proven).
     StreamQ("win_session_stream",
       (s, dir) => {
         import graft.streaming.WeatherStream
         val ev = Tables.events(s, dir).select(col("ts"), col("user_id"), col("value"))
         val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-        val sentinel = s.createDataFrame(
+        def sentinel(days: Int) = s.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(
-            new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000),
+            new java.sql.Timestamp(maxTs.getTime + days.toLong * 24 * 3600 * 1000),
             -1L, 0.0)),
           ev.schema)
         val input = WeatherStream.chunkedFileFeedDF(
-          ev.union(sentinel), "ts", WeatherStream.stagingDir("win_session", dir))
+          ev.union(sentinel(7)), "ts", WeatherStream.stagingDir("win_session", dir),
+          epilogue = Some(sentinel(14)))
         val agg = input.df
           .withWatermark("ts", "2 hours")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -568,8 +590,10 @@ object WindowQueries {
             unix_micros(col("session_window.start")).as("session_start_us"),
             col("n"), col("sum_value"))
         // parquet-sink drain: session count is O(input) at scale
-        withShufflePartitions(s, WeatherStream.statePartitions(s, input)) {
-          graft.streaming.WeatherStream.drainToParquet(agg, "win_session_stream", input)
+        withSessionConf(s, "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
+          withShufflePartitions(s, WeatherStream.statePartitions(s, input)) {
+            graft.streaming.WeatherStream.drainToParquet(agg, "win_session_stream", input)
+          }
         }
           .filter(col("user_id") =!= -1L)
           .orderBy("user_id", "session_start_us")

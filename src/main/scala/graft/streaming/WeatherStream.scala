@@ -232,11 +232,28 @@ object WeatherStream {
     * Degenerate event-time distributions (a value spanning a quantile
     * boundary) collapse adjacent chunks: duplicate bounds are
     * deduplicated, so the feed degrades to fewer (still correctly
-    * ordered) micro-batches instead of writing empty chunk ranges. */
+    * ordered) micro-batches instead of writing empty chunk ranges.
+    *
+    * `epilogue`, when given, is staged as ONE extra chunk that arrives
+    * strictly AFTER every quantile chunk (its own parquet dir, same
+    * schema). Purpose: the watermarked windowed-agg streams run with
+    * no-data micro-batches DISABLED (each watermark advance otherwise
+    * pays a full extra plan execution over empty sources — measured
+    * ~0.4 s per feed advance at sf0.1, and at cluster scale one task
+    * per state partition — that for an append-mode agg only matters
+    * once, at end-of-feed); the epilogue chunk carries a single
+    * beyond-every-window sentinel row, so the FINAL watermark advance
+    * happens inside a real data batch and the closed windows are
+    * emitted there. The epilogue rows follow the same contract as the
+    * in-feed sentinel the callers already use: event time far enough
+    * out that their own window/session can never close, hence they are
+    * never emitted. */
   def chunkedFileFeedDF(readings: DataFrame, tsCol: String, dir: String,
-                        nChunks: Int = DefaultChunks): ChunkedFeed = {
+                        nChunks: Int = DefaultChunks,
+                        epilogue: Option[DataFrame] = None): ChunkedFeed = {
     val s = readings.sparkSession
     val stage = new java.io.File(dir, "chunks")
+    val epiDir = new java.io.File(stage, "epilogue")
     val bounds = Option(staged.get(stage.getAbsolutePath)).getOrElse {
       val probs = (1 until nChunks).map(_.toDouble / nChunks).toArray
       val bs = readings.select(col(tsCol).cast("double").as("t"))
@@ -248,6 +265,9 @@ object WeatherStream {
       readings.withColumn("chunk", chunk)
         .repartition(bs.length + 1, col("chunk"))
         .write.partitionBy("chunk").mode("overwrite").parquet(stage.getAbsolutePath)
+      // the epilogue is one sentinel row: a single file by construction
+      epilogue.foreach(_.coalesce(1).write.mode("overwrite")
+        .parquet(epiDir.getAbsolutePath))
       staged.put(stage.getAbsolutePath, bs)
       bs
     }
@@ -259,7 +279,8 @@ object WeatherStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(live.getAbsolutePath)
     new ChunkedFeed(stream,
-      (0 to bounds.length).map(k => new java.io.File(stage, s"chunk=$k")), live)
+      (0 to bounds.length).map(k => new java.io.File(stage, s"chunk=$k")) ++
+        epilogue.map(_ => epiDir).toSeq, live)
   }
 
   /** Drive `q` through its feeds to completion: each round advances every
