@@ -47,8 +47,17 @@ object BatchProf {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val el = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener drain
       println(f"=== $name pass $pass: $el%.3f s ===")
+      // poll the async listener bus to quiescence (two consecutive
+      // 200 ms windows with no new events) instead of one fixed sleep:
+      // on a loaded box late stage events could otherwise leak into the
+      // next pass's printout
+      var n = -1
+      var stable = 0
+      while (stable < 2) {
+        Thread.sleep(200)
+        if (stages.size == n) stable += 1 else { stable = 0; n = stages.size }
+      }
       stages.forEach(s => println(s))
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

@@ -215,17 +215,29 @@ object Bench {
       }
     }
     val env = s""","load1":${num("%.2f", loadAtStart)},"other_jvms":$otherJvms,"cached_mb":$cachedMb"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"streaming_sec":$streamingSec,"streaming_n":$streamingN$prevRegistryJson$env,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"elided":${ok.length - slowest.length},"failed":$failedJson,"n_queries":${names.length},"streaming_sec":$streamingSec,"streaming_n":$streamingN$prevRegistryJson$env,"sf":"$sfDir"}"""
     // Full-precision, uncapped dump for offline analysis (scaling curves):
     // SPARK_GRAFT_BENCH_OUT=path writes every query's timing to a file,
-    // where the stdout line above stays within the driver's tail budget.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+    // where the stdout line stays within the driver's tail budget. When
+    // the env var is unset the dump still lands at a FIXED sidecar under
+    // java.io.tmpdir — a parse failure on the stdout side (the r16
+    // driver adjudication lost its whole round-over-round table to one)
+    // then never orphans the measurement. Additions only; the stdout
+    // schema is unchanged.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_bench_last.json")
+        .getAbsolutePath)
+    locally {
       val full = results.map { case (k, v) => "\"" + k + "\":" + num("%.3f", v) }
         .mkString("{", ",", "}")
       val json = s"""{"total":$total,"queries":$full,"failed":$failedJson,"streaming_sec":$streamingSec,"streaming_n":$streamingN$prevRegistryJson$env,"sf":"$sfDir","cpus":$cpus}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
         json.getBytes("UTF-8"))
     }
+    // stop() BEFORE the metric line: Spark shutdown must not interleave
+    // anything with (or after) the one JSON line the driver tails —
+    // only sbt's own [success] trailer follows it now.
     spark.stop()
+    println(line)
   }
 }

@@ -94,7 +94,15 @@ package object core {
   /** Run `body` with one session conf temporarily set, restoring (or
     * unsetting) afterwards — the generalized [[withShufflePartitions]].
     * A Structured Streaming query snapshots session confs at start, so
-    * wrapping a stream's start+drain scopes the setting to that query. */
+    * wrapping a stream's start+drain scopes the setting to that query.
+    *
+    * SINGLE-THREADED-DRIVER assumption (same as
+    * [[withShufflePartitions]]): the mutation is on the SHARED session
+    * conf, so a query started concurrently on the same session from
+    * another driver thread would snapshot the temporary value. Every
+    * harness here (Bench/Verify/tests) runs queries sequentially; a
+    * concurrent driver should scope the conf via `s.newSession()`
+    * instead. */
   def withSessionConf[T](s: SparkSession, key: String, value: String)(body: => T): T = {
     val prev = s.conf.getOption(key)
     s.conf.set(key, value)
